@@ -1,0 +1,83 @@
+"""ctypes bindings for the native C++ runtime layer.
+
+The reference's runtime is native C++ (builder: index_builder/build.cpp,
+engine: hnswlib/hnswalg.h, store: storage_service/rocksdb_store.cpp); ours is
+too. pybind11 is not available in this image, so the boundary is a C ABI
+loaded via ctypes. The shared object is compiled on first use with g++ -O3
+-march=native and cached next to the sources.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIBS: dict[str, ctypes.CDLL] = {}
+
+
+def _build_and_load(name: str) -> ctypes.CDLL:
+    """Compile native/<name>.cpp to <name>.so (if stale) and dlopen it."""
+    src = os.path.join(_HERE, f"{name}.cpp")
+    so = os.path.join(_HERE, f"{name}.so")
+    with _LOCK:
+        if name in _LIBS:
+            return _LIBS[name]
+        need = not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src)
+        if need:
+            tmp = so + f".tmp.{os.getpid()}"
+            cmd = [
+                "g++", "-O3", "-march=native", "-std=c++20", "-shared", "-fPIC",
+                "-o", tmp, src,
+            ]
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            os.replace(tmp, so)
+        lib = ctypes.CDLL(so)
+        _LIBS[name] = lib
+        return lib
+
+
+def load_builder_lib() -> ctypes.CDLL:
+    lib = _build_and_load("builder")
+    c = ctypes
+    P = c.POINTER
+    lib.hnsw_create.restype = c.c_void_p
+    lib.hnsw_create.argtypes = [c.c_int, c.c_int, c.c_int, c.c_int, c.c_uint64]
+    lib.hnsw_free.argtypes = [c.c_void_p]
+    lib.hnsw_add.argtypes = [c.c_void_p, P(c.c_float), c.c_int64]
+    lib.hnsw_add_batch.argtypes = [c.c_void_p, P(c.c_float), P(c.c_int64), c.c_int64]
+    lib.hnsw_mark_deleted.argtypes = [c.c_void_p, c.c_int64]
+    lib.hnsw_mark_deleted.restype = c.c_int
+    lib.hnsw_unmark_deleted.argtypes = [c.c_void_p, c.c_int64]
+    lib.hnsw_unmark_deleted.restype = c.c_int
+    for fn, res in [
+        ("hnsw_size", c.c_int64),
+        ("hnsw_max_level", c.c_int),
+        ("hnsw_entry_point", c.c_int),
+        ("hnsw_dim", c.c_int),
+        ("hnsw_m", c.c_int),
+        ("hnsw_max_m0", c.c_int),
+        ("hnsw_num_deleted", c.c_int64),
+    ]:
+        getattr(lib, fn).argtypes = [c.c_void_p]
+        getattr(lib, fn).restype = res
+    lib.hnsw_export_level0.argtypes = [c.c_void_p, P(c.c_int32)]
+    lib.hnsw_export_levels.argtypes = [c.c_void_p, P(c.c_int32)]
+    lib.hnsw_export_labels.argtypes = [c.c_void_p, P(c.c_int64)]
+    lib.hnsw_export_deleted.argtypes = [c.c_void_p, P(c.c_uint8)]
+    lib.hnsw_export_vectors.argtypes = [c.c_void_p, P(c.c_float)]
+    lib.hnsw_upper_count.argtypes = [c.c_void_p, c.c_int]
+    lib.hnsw_upper_count.restype = c.c_int64
+    lib.hnsw_export_upper.argtypes = [c.c_void_p, c.c_int, P(c.c_int32), P(c.c_int32)]
+    lib.hnsw_search.argtypes = [
+        c.c_void_p, P(c.c_float), c.c_int, c.c_int, P(c.c_int64), P(c.c_float),
+    ]
+    lib.hnsw_search.restype = c.c_int
+    lib.hnsw_search_batch.argtypes = [
+        c.c_void_p, P(c.c_float), c.c_int64, c.c_int, c.c_int,
+        P(c.c_int64), P(c.c_float), P(c.c_int32),
+    ]
+    return lib

@@ -1,0 +1,553 @@
+// hnsw_tpu native graph builder + CPU search engine.
+//
+// Brand-new array-based reimplementation of the HNSW construction semantics
+// surveyed from the reference (hnswlib/hnswalg.h): level assignment
+// (hnswalg.h:207-211), ef_construction beam search per layer (226-305),
+// neighbor-selection heuristic (getNeighborsByHeuristic2, 443-483), mutual
+// connection with overflow re-prune (mutuallyConnectNewElement, 506-630),
+// update/repair (995-1150), delete-marking (853-900), and query search
+// (1271-1324). No reference code is used; the data layout here is padded
+// flat arrays (ready for zero-copy export to the TPU padded-CSR format)
+// instead of the reference's interleaved per-node byte blobs.
+//
+// This engine has two roles in the framework:
+//  1. Host-side incremental builder (insert/update/delete) feeding the
+//     device-resident index.
+//  2. The single-core CPU baseline for bench.py (stand-in for hnswlib's
+//     single-core QPS, same algorithm & parameters).
+//
+// Exposed as a C ABI for ctypes binding (no pybind11 in this image).
+
+#include <algorithm>
+#include <atomic>
+#include <cassert>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <limits>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <stdexcept>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+using std::size_t;
+
+// ---------------------------------------------------------------------------
+// Distance kernels. Plain loops with -O3 -march=native: the compiler
+// autovectorizes these to the host's widest SIMD — replacing the reference's
+// hand-written intrinsic ladders (hnswlib/space_l2.h, space_ip.h).
+// ---------------------------------------------------------------------------
+
+static inline float l2_sq(const float* a, const float* b, int dim) {
+  float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f, acc3 = 0.f;
+  int i = 0;
+  for (; i + 4 <= dim; i += 4) {
+    float d0 = a[i] - b[i];
+    float d1 = a[i + 1] - b[i + 1];
+    float d2 = a[i + 2] - b[i + 2];
+    float d3 = a[i + 3] - b[i + 3];
+    acc0 += d0 * d0;
+    acc1 += d1 * d1;
+    acc2 += d2 * d2;
+    acc3 += d3 * d3;
+  }
+  float acc = acc0 + acc1 + acc2 + acc3;
+  for (; i < dim; ++i) {
+    float d = a[i] - b[i];
+    acc += d * d;
+  }
+  return acc;
+}
+
+static inline float ip_dist(const float* a, const float* b, int dim) {
+  float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f, acc3 = 0.f;
+  int i = 0;
+  for (; i + 4 <= dim; i += 4) {
+    acc0 += a[i] * b[i];
+    acc1 += a[i + 1] * b[i + 1];
+    acc2 += a[i + 2] * b[i + 2];
+    acc3 += a[i + 3] * b[i + 3];
+  }
+  float acc = acc0 + acc1 + acc2 + acc3;
+  for (; i < dim; ++i) acc += a[i] * b[i];
+  return 1.0f - acc;
+}
+
+// ---------------------------------------------------------------------------
+// Epoch-tagged visited set (semantics of hnswlib/visited_list_pool.h:10-77,
+// single-owner variant: one per builder, O(1) reset via epoch bump).
+// ---------------------------------------------------------------------------
+
+struct VisitedSet {
+  std::vector<uint32_t> tags;
+  uint32_t epoch = 0;
+
+  void ensure(size_t n) {
+    if (tags.size() < n) tags.resize(n, 0);
+  }
+  void reset() {
+    ++epoch;
+    if (epoch == 0) {  // wrapped: clear and restart
+      std::fill(tags.begin(), tags.end(), 0);
+      epoch = 1;
+    }
+  }
+  bool test_and_set(uint32_t id) {
+    if (tags[id] == epoch) return true;
+    tags[id] = epoch;
+    return false;
+  }
+};
+
+struct Cand {
+  float dist;
+  uint32_t id;
+};
+struct CandCloser {  // min-heap by dist when used with priority_queue
+  bool operator()(const Cand& a, const Cand& b) const { return a.dist > b.dist; }
+};
+struct CandFarther {  // max-heap by dist
+  bool operator()(const Cand& a, const Cand& b) const { return a.dist < b.dist; }
+};
+
+using MinHeap = std::priority_queue<Cand, std::vector<Cand>, CandCloser>;
+using MaxHeap = std::priority_queue<Cand, std::vector<Cand>, CandFarther>;
+
+// ---------------------------------------------------------------------------
+// The builder.
+// ---------------------------------------------------------------------------
+
+struct HnswBuilder {
+  int dim;
+  int space;  // 0 = l2, 1 = ip
+  int M;      // max links per node on upper levels
+  int maxM0;  // max links at level 0 (= 2*M, as hnswalg.h:102)
+  int ef_construction;
+  double mult;  // 1 / ln(M)  (hnswalg.h:106)
+  std::mt19937_64 rng;
+
+  size_t n = 0;
+  std::vector<float> data;          // [n, dim]
+  std::vector<int64_t> labels;      // [n]
+  std::vector<int32_t> node_level;  // [n]
+  std::vector<uint8_t> deleted;     // [n]
+  // level-0 adjacency: flat [n, maxM0], -1 padded.
+  std::vector<int32_t> links0;
+  std::vector<int32_t> cnt0;  // [n] valid-link counts
+  // upper adjacency: per node, flat [node_level, M], -1 padded (levels 1..).
+  std::vector<std::vector<int32_t>> links_upper;
+  std::vector<std::vector<int32_t>> cnt_upper;
+
+  int32_t entry_point = -1;
+  int max_level = -1;
+  std::unordered_map<int64_t, uint32_t> label_to_id;
+  size_t num_deleted = 0;
+
+  mutable VisitedSet visited;
+  mutable std::mutex big_lock;  // coarse lock: builder mutations serialize
+
+  HnswBuilder(int dim_, int space_, int M_, int efc, uint64_t seed)
+      : dim(dim_),
+        space(space_),
+        M(M_),
+        maxM0(2 * M_),
+        ef_construction(efc),
+        mult(1.0 / std::log(double(M_))),
+        rng(seed) {}
+
+  inline float dist(const float* a, const float* b) const {
+    return space == 0 ? l2_sq(a, b, dim) : ip_dist(a, b, dim);
+  }
+  inline const float* vec(uint32_t id) const { return data.data() + size_t(id) * dim; }
+
+  // Random level, same distribution as hnswalg.h:207-211.
+  int random_level() {
+    std::uniform_real_distribution<double> u(0.0, 1.0);
+    double r = -std::log(u(rng)) * mult;
+    return int(r);
+  }
+
+  inline const int32_t* neighbors(uint32_t id, int level, int* count) const {
+    if (level == 0) {
+      *count = cnt0[id];
+      return links0.data() + size_t(id) * maxM0;
+    }
+    *count = cnt_upper[id][level - 1];
+    return links_upper[id].data() + size_t(level - 1) * M;
+  }
+  inline int32_t* mutable_neighbors(uint32_t id, int level, int32_t** countp) {
+    if (level == 0) {
+      *countp = &cnt0[id];
+      return links0.data() + size_t(id) * maxM0;
+    }
+    *countp = &cnt_upper[id][level - 1];
+    return links_upper[id].data() + size_t(level - 1) * M;
+  }
+
+  // Greedy 1-best descent on one upper level (hnswalg.h:1213-1239 /
+  // 1278-1303 semantics).
+  uint32_t greedy_level(const float* q, uint32_t ep, int level, float* ep_dist) const {
+    uint32_t cur = ep;
+    float cur_d = *ep_dist;
+    bool changed = true;
+    while (changed) {
+      changed = false;
+      int cnt;
+      const int32_t* nb = neighbors(cur, level, &cnt);
+      for (int j = 0; j < cnt; ++j) {
+        uint32_t cand = uint32_t(nb[j]);
+        float d = dist(q, vec(cand));
+        if (d < cur_d) {
+          cur_d = d;
+          cur = cand;
+          changed = true;
+        }
+      }
+    }
+    *ep_dist = cur_d;
+    return cur;
+  }
+
+  // ef-bounded beam search on one level (semantics of searchBaseLayer,
+  // hnswalg.h:226-305). Returns a max-heap of up to `ef` (dist, id).
+  MaxHeap search_layer(const float* q, uint32_t ep, int level, int ef,
+                       bool skip_deleted_results = false) const {
+    visited.ensure(n);
+    visited.reset();
+    MaxHeap results;
+    MinHeap candidates;
+
+    float d0 = dist(q, vec(ep));
+    visited.test_and_set(ep);
+    candidates.push({d0, ep});
+    float lower_bound;
+    if (!skip_deleted_results || !deleted[ep]) {
+      results.push({d0, ep});
+      lower_bound = d0;
+    } else {
+      lower_bound = std::numeric_limits<float>::max();
+    }
+
+    while (!candidates.empty()) {
+      Cand c = candidates.top();
+      if (c.dist > lower_bound && results.size() >= size_t(ef)) break;
+      candidates.pop();
+      int cnt;
+      const int32_t* nb = neighbors(c.id, level, &cnt);
+      for (int j = 0; j < cnt; ++j) {
+        uint32_t cand = uint32_t(nb[j]);
+        if (visited.test_and_set(cand)) continue;
+        float d = dist(q, vec(cand));
+        if (results.size() < size_t(ef) || d < lower_bound) {
+          candidates.push({d, cand});
+          if (!skip_deleted_results || !deleted[cand]) {
+            results.push({d, cand});
+            if (results.size() > size_t(ef)) results.pop();
+          }
+          if (!results.empty() && results.size() >= size_t(ef))
+            lower_bound = results.top().dist;
+        }
+      }
+    }
+    return results;
+  }
+
+  // Neighbor-selection heuristic (getNeighborsByHeuristic2 semantics,
+  // hnswalg.h:443-483): scan candidates closest-first, keep a candidate iff
+  // it is closer to the query point than to every already-kept neighbor.
+  void select_neighbors(std::vector<Cand>& cands, int m) const {
+    if (cands.size() <= size_t(m)) return;
+    std::sort(cands.begin(), cands.end(),
+              [](const Cand& a, const Cand& b) { return a.dist < b.dist; });
+    std::vector<Cand> kept;
+    kept.reserve(m);
+    for (const Cand& c : cands) {
+      if (kept.size() >= size_t(m)) break;
+      bool good = true;
+      for (const Cand& s : kept) {
+        float d_cs = dist(vec(c.id), vec(s.id));
+        if (d_cs < c.dist) {
+          good = false;
+          break;
+        }
+      }
+      if (good) kept.push_back(c);
+    }
+    cands.swap(kept);
+  }
+
+  // Connect `id` to selected neighbors at `level`; add reverse links with
+  // overflow re-prune (mutuallyConnectNewElement, hnswalg.h:506-630).
+  // Returns the closest selected neighbor (next entry point).
+  uint32_t connect(uint32_t id, std::vector<Cand>& cands, int level) {
+    int m_cap = level == 0 ? maxM0 : M;
+    select_neighbors(cands, M);  // forward selection capped at M (hnswalg.h:513)
+    uint32_t closest = cands.empty() ? id : cands.front().id;
+    float best = std::numeric_limits<float>::max();
+
+    int32_t* cntp;
+    int32_t* my = mutable_neighbors(id, level, &cntp);
+    *cntp = 0;
+    for (const Cand& c : cands) {
+      my[(*cntp)++] = int32_t(c.id);
+      if (c.dist < best) {
+        best = c.dist;
+        closest = c.id;
+      }
+    }
+    for (int j = *cntp; j < m_cap; ++j) my[j] = -1;
+
+    for (const Cand& c : cands) {
+      int32_t* ocntp;
+      int32_t* other = mutable_neighbors(c.id, level, &ocntp);
+      // the link may already exist (update/repair path re-links a live node)
+      bool present = false;
+      for (int j = 0; j < *ocntp; ++j)
+        if (other[j] == int32_t(id)) {
+          present = true;
+          break;
+        }
+      if (present) continue;
+      if (*ocntp < m_cap) {
+        other[(*ocntp)++] = int32_t(id);
+      } else {
+        // Overflow: re-select among existing links + the new node
+        // (hnswalg.h:586-625).
+        float d_new = dist(vec(id), vec(c.id));
+        std::vector<Cand> pool;
+        pool.reserve(*ocntp + 1);
+        pool.push_back({d_new, id});
+        for (int j = 0; j < *ocntp; ++j) {
+          uint32_t o = uint32_t(other[j]);
+          pool.push_back({dist(vec(o), vec(c.id)), o});
+        }
+        select_neighbors(pool, m_cap);
+        *ocntp = 0;
+        for (const Cand& p : pool) other[(*ocntp)++] = int32_t(p.id);
+        // clear stale slots beyond the live count (the flat array is
+        // exported as a -1-padded row)
+        for (int j = *ocntp; j < m_cap; ++j) other[j] = -1;
+      }
+    }
+    return closest;
+  }
+
+  // Core insert (addPoint semantics, hnswalg.h:954-1267).
+  void insert(const float* v, int64_t label) {
+    std::lock_guard<std::mutex> g(big_lock);
+    auto it = label_to_id.find(label);
+    if (it != label_to_id.end()) {
+      update(it->second, v);
+      return;
+    }
+    uint32_t id = uint32_t(n);
+    ++n;
+    data.insert(data.end(), v, v + dim);
+    labels.push_back(label);
+    deleted.push_back(0);
+    cnt0.push_back(0);
+    links0.resize(n * size_t(maxM0), -1);
+    int level = random_level();
+    node_level.push_back(level);
+    links_upper.emplace_back(size_t(level) * M, -1);
+    cnt_upper.emplace_back(size_t(level), 0);
+    label_to_id.emplace(label, id);
+
+    if (entry_point < 0) {
+      entry_point = int32_t(id);
+      max_level = level;
+      return;
+    }
+
+    uint32_t ep = uint32_t(entry_point);
+    float ep_d = dist(v, vec(ep));
+    for (int l = max_level; l > level; --l) ep = greedy_level(v, ep, l, &ep_d);
+
+    for (int l = std::min(level, max_level); l >= 0; --l) {
+      MaxHeap top = search_layer(v, ep, l, ef_construction);
+      std::vector<Cand> cands;
+      cands.reserve(top.size());
+      while (!top.empty()) {
+        cands.push_back(top.top());
+        top.pop();
+      }
+      ep = connect(id, cands, l);
+    }
+    if (level > max_level) {
+      max_level = level;
+      entry_point = int32_t(id);
+    }
+  }
+
+  // Update an existing element's vector and repair its links (updatePoint /
+  // repairConnectionsForUpdate semantics, hnswalg.h:995-1150, simplified to
+  // a full re-link of the node at its existing levels).
+  void update(uint32_t id, const float* v) {
+    std::memcpy(data.data() + size_t(id) * dim, v, sizeof(float) * dim);
+    deleted[id] = 0;
+    if (n == 1) return;
+    int level = node_level[id];
+    uint32_t ep = uint32_t(entry_point);
+    if (ep == id) {
+      // find any other node to use as the descent entry
+      ep = id == 0 ? 1 : 0;
+      for (uint32_t cand = 0; cand < n; ++cand)
+        if (cand != id && node_level[cand] == max_level) {
+          ep = cand;
+          break;
+        }
+    }
+    float ep_d = dist(v, vec(ep));
+    for (int l = max_level; l > level; --l) ep = greedy_level(v, ep, l, &ep_d);
+    for (int l = std::min(level, max_level); l >= 0; --l) {
+      MaxHeap top = search_layer(v, ep, l, ef_construction);
+      std::vector<Cand> cands;
+      cands.reserve(top.size());
+      while (!top.empty()) {
+        Cand c = top.top();
+        top.pop();
+        if (c.id != id) cands.push_back(c);
+      }
+      if (!cands.empty()) ep = connect(id, cands, l);
+    }
+  }
+
+  bool mark_deleted(int64_t label, bool del) {
+    std::lock_guard<std::mutex> g(big_lock);
+    auto it = label_to_id.find(label);
+    if (it == label_to_id.end()) return false;
+    if (deleted[it->second] != uint8_t(del)) {
+      deleted[it->second] = uint8_t(del);
+      num_deleted += del ? 1 : -1;
+    }
+    return true;
+  }
+
+  // Query search (searchKnn semantics, hnswalg.h:1271-1324). Deleted
+  // elements are traversed but excluded from results.
+  int search(const float* q, int k, int ef, int64_t* out_labels,
+             float* out_dists) const {
+    if (n == 0 || entry_point < 0) return 0;
+    uint32_t ep = uint32_t(entry_point);
+    float ep_d = dist(q, vec(ep));
+    for (int l = max_level; l > 0; --l) ep = greedy_level(q, ep, l, &ep_d);
+    MaxHeap top = search_layer(q, ep, 0, std::max(ef, k), num_deleted > 0);
+    std::vector<Cand> res;
+    res.reserve(top.size());
+    while (!top.empty()) {
+      res.push_back(top.top());
+      top.pop();
+    }
+    std::reverse(res.begin(), res.end());  // ascending
+    int out = int(std::min(res.size(), size_t(k)));
+    for (int i = 0; i < out; ++i) {
+      out_labels[i] = labels[res[i].id];
+      out_dists[i] = res[i].dist;
+    }
+    return out;
+  }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+HnswBuilder* hnsw_create(int dim, int space, int M, int ef_construction,
+                         uint64_t seed) {
+  return new HnswBuilder(dim, space, M, ef_construction, seed);
+}
+
+void hnsw_free(HnswBuilder* b) { delete b; }
+
+void hnsw_add(HnswBuilder* b, const float* vec, int64_t label) {
+  b->insert(vec, label);
+}
+
+void hnsw_add_batch(HnswBuilder* b, const float* vecs, const int64_t* labels,
+                    int64_t count) {
+  for (int64_t i = 0; i < count; ++i) b->insert(vecs + size_t(i) * b->dim, labels[i]);
+}
+
+int hnsw_mark_deleted(HnswBuilder* b, int64_t label) {
+  return b->mark_deleted(label, true) ? 0 : -1;
+}
+int hnsw_unmark_deleted(HnswBuilder* b, int64_t label) {
+  return b->mark_deleted(label, false) ? 0 : -1;
+}
+
+int64_t hnsw_size(HnswBuilder* b) { return int64_t(b->n); }
+int hnsw_max_level(HnswBuilder* b) { return b->max_level; }
+int hnsw_entry_point(HnswBuilder* b) { return b->entry_point; }
+int hnsw_dim(HnswBuilder* b) { return b->dim; }
+int hnsw_m(HnswBuilder* b) { return b->M; }
+int hnsw_max_m0(HnswBuilder* b) { return b->maxM0; }
+int64_t hnsw_num_deleted(HnswBuilder* b) { return int64_t(b->num_deleted); }
+
+// Export: level-0 links [n, maxM0] (-1 padded), per-node levels, labels,
+// deleted flags, vectors.
+void hnsw_export_level0(HnswBuilder* b, int32_t* out) {
+  std::memcpy(out, b->links0.data(), b->n * size_t(b->maxM0) * sizeof(int32_t));
+}
+void hnsw_export_levels(HnswBuilder* b, int32_t* out) {
+  std::memcpy(out, b->node_level.data(), b->n * sizeof(int32_t));
+}
+void hnsw_export_labels(HnswBuilder* b, int64_t* out) {
+  std::memcpy(out, b->labels.data(), b->n * sizeof(int64_t));
+}
+void hnsw_export_deleted(HnswBuilder* b, uint8_t* out) {
+  std::memcpy(out, b->deleted.data(), b->n * sizeof(uint8_t));
+}
+void hnsw_export_vectors(HnswBuilder* b, float* out) {
+  std::memcpy(out, b->data.data(), b->n * size_t(b->dim) * sizeof(float));
+}
+
+// Upper-level export: count of nodes at `level`, then their ids and padded
+// [count, M] link rows.
+int64_t hnsw_upper_count(HnswBuilder* b, int level) {
+  int64_t c = 0;
+  for (size_t i = 0; i < b->n; ++i)
+    if (b->node_level[i] >= level) ++c;
+  return c;
+}
+void hnsw_export_upper(HnswBuilder* b, int level, int32_t* out_ids,
+                       int32_t* out_links) {
+  int64_t row = 0;
+  for (size_t i = 0; i < b->n; ++i) {
+    if (b->node_level[i] < level) continue;
+    out_ids[row] = int32_t(i);
+    const int32_t* src =
+        b->links_upper[i].data() + size_t(level - 1) * b->M;
+    std::memcpy(out_links + row * b->M, src, b->M * sizeof(int32_t));
+    ++row;
+  }
+}
+
+int hnsw_search(HnswBuilder* b, const float* q, int k, int ef,
+                int64_t* out_labels, float* out_dists) {
+  return b->search(q, k, ef, out_labels, out_dists);
+}
+
+// Batched single-thread search (for baseline QPS measurement).
+void hnsw_search_batch(HnswBuilder* b, const float* qs, int64_t nq, int k,
+                       int ef, int64_t* out_labels, float* out_dists,
+                       int32_t* out_counts) {
+  for (int64_t i = 0; i < nq; ++i) {
+    out_counts[i] = b->search(qs + size_t(i) * b->dim, k, ef,
+                              out_labels + size_t(i) * k,
+                              out_dists + size_t(i) * k);
+  }
+}
+
+}  // extern "C"

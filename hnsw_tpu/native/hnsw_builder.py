@@ -1,0 +1,169 @@
+"""numpy-friendly wrapper around the native C++ HNSW builder.
+
+Host-side graph construction (insert / update / delete-mark) with export to
+the padded-CSR HNSWGraph consumed by the device traversal. Also exposes the
+single-core CPU search used as the bench baseline (reference semantics:
+hnswlib/hnswalg.h searchKnn, hnsw_service/main.cpp:51-97 normal mode).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from hnsw_tpu.core.graph import HNSWGraph
+from hnsw_tpu.native import load_builder_lib
+
+_F32P = ctypes.POINTER(ctypes.c_float)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _ptr(a: np.ndarray, ty):
+    return a.ctypes.data_as(ty)
+
+
+class NativeHNSWBuilder:
+    """Incremental HNSW graph builder backed by the native engine."""
+
+    def __init__(
+        self,
+        dim: int,
+        space: str = "l2",
+        m: int = 16,
+        ef_construction: int = 200,
+        seed: int = 123,
+    ):
+        self.lib = load_builder_lib()
+        self.dim = dim
+        self.space = space
+        self.m = m
+        self.ef_construction = ef_construction
+        space_id = {"l2": 0, "ip": 1}[space]
+        self._h = ctypes.c_void_p(
+            self.lib.hnsw_create(dim, space_id, m, ef_construction, seed)
+        )
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self.lib.hnsw_free(h)
+            self._h = None
+
+    # -- mutation -----------------------------------------------------------
+
+    def add(self, vec: np.ndarray, label: int) -> None:
+        v = np.ascontiguousarray(vec, dtype=np.float32).reshape(self.dim)
+        self.lib.hnsw_add(self._h, _ptr(v, _F32P), label)
+
+    def add_batch(self, vecs: np.ndarray, labels: np.ndarray) -> None:
+        v = np.ascontiguousarray(vecs, dtype=np.float32).reshape(-1, self.dim)
+        l = np.ascontiguousarray(labels, dtype=np.int64).reshape(-1)
+        assert v.shape[0] == l.shape[0]
+        self.lib.hnsw_add_batch(self._h, _ptr(v, _F32P), _ptr(l, _I64P), v.shape[0])
+
+    def mark_deleted(self, label: int) -> None:
+        if self.lib.hnsw_mark_deleted(self._h, label) != 0:
+            raise KeyError(f"label {label} not in index")
+
+    def unmark_deleted(self, label: int) -> None:
+        if self.lib.hnsw_unmark_deleted(self._h, label) != 0:
+            raise KeyError(f"label {label} not in index")
+
+    # -- introspection ------------------------------------------------------
+
+    @property
+    def size(self) -> int:
+        return int(self.lib.hnsw_size(self._h))
+
+    @property
+    def max_level(self) -> int:
+        return int(self.lib.hnsw_max_level(self._h))
+
+    @property
+    def entry_point(self) -> int:
+        return int(self.lib.hnsw_entry_point(self._h))
+
+    @property
+    def num_deleted(self) -> int:
+        return int(self.lib.hnsw_num_deleted(self._h))
+
+    # -- export to padded-CSR -----------------------------------------------
+
+    def export_vectors(self) -> np.ndarray:
+        n = self.size
+        out = np.empty((n, self.dim), dtype=np.float32)
+        self.lib.hnsw_export_vectors(self._h, _ptr(out, _F32P))
+        return out
+
+    def export_deleted(self) -> np.ndarray:
+        n = self.size
+        out = np.empty(n, dtype=np.uint8)
+        self.lib.hnsw_export_deleted(self._h, _ptr(out, _U8P))
+        return out
+
+    def export_graph(self) -> HNSWGraph:
+        n = self.size
+        max_m0 = int(self.lib.hnsw_max_m0(self._h))
+        level0 = np.empty((n, max_m0), dtype=np.int32)
+        self.lib.hnsw_export_level0(self._h, _ptr(level0, _I32P))
+        node_level = np.empty(n, dtype=np.int32)
+        self.lib.hnsw_export_levels(self._h, _ptr(node_level, _I32P))
+        labels = np.empty(n, dtype=np.int64)
+        self.lib.hnsw_export_labels(self._h, _ptr(labels, _I64P))
+
+        ml = self.max_level
+        if ml > 0:
+            counts = [int(self.lib.hnsw_upper_count(self._h, l)) for l in range(1, ml + 1)]
+            u_max = max(counts)
+            upper = np.full((ml, u_max, self.m), -1, dtype=np.int32)
+            upper_slot = np.full((ml, n), -1, dtype=np.int32)
+            for l in range(1, ml + 1):
+                c = counts[l - 1]
+                ids = np.empty(c, dtype=np.int32)
+                links = np.empty((c, self.m), dtype=np.int32)
+                self.lib.hnsw_export_upper(
+                    self._h, l, _ptr(ids, _I32P), _ptr(links, _I32P)
+                )
+                upper[l - 1, :c] = links
+                upper_slot[l - 1, ids] = np.arange(c, dtype=np.int32)
+        else:
+            upper = np.zeros((0, 1, 1), dtype=np.int32)
+            upper_slot = np.zeros((0, n), dtype=np.int32)
+
+        return HNSWGraph(
+            level0=level0,
+            upper=upper,
+            upper_slot=upper_slot,
+            node_level=node_level,
+            labels=labels,
+            entry_point=self.entry_point,
+            max_level=ml,
+        )
+
+    # -- CPU search (baseline / parity) --------------------------------------
+
+    def search(self, q: np.ndarray, k: int, ef: int) -> tuple[np.ndarray, np.ndarray]:
+        qv = np.ascontiguousarray(q, dtype=np.float32).reshape(self.dim)
+        out_l = np.full(k, -1, dtype=np.int64)
+        out_d = np.full(k, np.inf, dtype=np.float32)
+        cnt = self.lib.hnsw_search(
+            self._h, _ptr(qv, _F32P), k, ef, _ptr(out_l, _I64P), _ptr(out_d, _F32P)
+        )
+        return out_d[:cnt], out_l[:cnt]
+
+    def search_batch(
+        self, qs: np.ndarray, k: int, ef: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        q = np.ascontiguousarray(qs, dtype=np.float32).reshape(-1, self.dim)
+        nq = q.shape[0]
+        out_l = np.full((nq, k), -1, dtype=np.int64)
+        out_d = np.full((nq, k), np.inf, dtype=np.float32)
+        out_c = np.zeros(nq, dtype=np.int32)
+        self.lib.hnsw_search_batch(
+            self._h, _ptr(q, _F32P), nq, k, ef,
+            _ptr(out_l, _I64P), _ptr(out_d, _F32P), _ptr(out_c, _I32P),
+        )
+        return out_d, out_l, out_c

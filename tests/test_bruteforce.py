@@ -1,0 +1,84 @@
+"""BruteforceIndex parity with reference semantics (hnswlib/bruteforce.h):
+add/overwrite by label, swap-delete, filtered search, save/load."""
+
+import numpy as np
+
+from hnsw_tpu.core.spaces import L2Space, IPSpace
+from hnsw_tpu.models.bruteforce import BruteforceIndex
+
+
+def _np_knn(q, x, k):
+    d = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    idx = np.argsort(d, axis=1)[:, :k]
+    return np.take_along_axis(d, idx, 1), idx
+
+
+def test_search_matches_numpy(rng):
+    x = rng.normal(size=(300, 20)).astype(np.float32)
+    idx = BruteforceIndex(L2Space(20))
+    idx.add_items(x, np.arange(300))
+    q = rng.normal(size=(5, 20)).astype(np.float32)
+    d, labels = idx.search_knn(q, 7)
+    wd, wi = _np_knn(q, x, 7)
+    np.testing.assert_allclose(d, wd, rtol=1e-3, atol=1e-3)
+    for b in range(5):
+        assert set(labels[b]) == set(wi[b])
+
+
+def test_overwrite_by_label(rng):
+    idx = BruteforceIndex(L2Space(4))
+    idx.add_point(np.ones(4), 7)
+    idx.add_point(np.zeros(4), 7)  # overwrite
+    assert idx.num_elements == 1
+    d, l = idx.search_knn(np.zeros((1, 4)), 1)
+    assert l[0, 0] == 7 and d[0, 0] < 1e-6
+
+
+def test_remove_swap_delete(rng):
+    x = rng.normal(size=(50, 8)).astype(np.float32)
+    idx = BruteforceIndex(L2Space(8))
+    idx.add_items(x, np.arange(50))
+    idx.remove_point(10)
+    assert idx.num_elements == 49
+    d, l = idx.search_knn(x[10:11], 5)
+    assert 10 not in l[0]
+    # other points still retrievable exactly
+    d, l = idx.search_knn(x[20:21], 1)
+    assert l[0, 0] == 20 and d[0, 0] < 1e-6
+
+
+def test_filtered_search(rng):
+    x = rng.normal(size=(100, 6)).astype(np.float32)
+    idx = BruteforceIndex(L2Space(6))
+    idx.add_items(x, np.arange(100))
+    mask = np.zeros(100, dtype=bool)
+    mask[::2] = True  # only even labels eligible
+    q = rng.normal(size=(3, 6)).astype(np.float32)
+    _, l = idx.search_knn(q, 5, filter_labels=mask)
+    assert np.all(l % 2 == 0)
+
+
+def test_ip_space(rng):
+    x = rng.normal(size=(80, 12)).astype(np.float32)
+    idx = BruteforceIndex(IPSpace(12))
+    idx.add_items(x, np.arange(80))
+    q = rng.normal(size=(2, 12)).astype(np.float32)
+    d, l = idx.search_knn(q, 4)
+    full = 1.0 - q @ x.T
+    wi = np.argsort(full, axis=1)[:, :4]
+    for b in range(2):
+        assert set(l[b]) == set(wi[b])
+
+
+def test_save_load(tmp_path, rng):
+    x = rng.normal(size=(60, 10)).astype(np.float32)
+    idx = BruteforceIndex(L2Space(10))
+    idx.add_items(x, np.arange(100, 160))
+    p = str(tmp_path / "bf.bin")
+    idx.save(p)
+    idx2 = BruteforceIndex.load(p)
+    q = rng.normal(size=(3, 10)).astype(np.float32)
+    d1, l1 = idx.search_knn(q, 5)
+    d2, l2 = idx2.search_knn(q, 5)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    np.testing.assert_array_equal(l1, l2)
