@@ -186,3 +186,48 @@ class HNSWIndex:
     def search_cpu(self, queries: np.ndarray, k: int = 10, ef: int = 200):
         """Single-core native CPU search (baseline parity path)."""
         return self._builder.search_batch(self.space.preprocess(queries), k, ef)
+
+    # -- persistence (reference: saveIndex/loadIndex hnswalg.h:685-822 and
+    # the .adj export, index_builder/build.cpp:22-107) ----------------------
+
+    def save(self, path: str) -> None:
+        from hnsw_tpu.io.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path,
+            self._builder.export_graph(),
+            self._builder.export_vectors(),
+            self._builder.export_deleted(),
+            meta={
+                "space": self.space.name,
+                "dim": self.dim,
+                "m": self.m,
+                "ef_construction": self.ef_construction,
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "HNSWIndex":
+        from hnsw_tpu.io.checkpoint import load_checkpoint
+        from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
+
+        g, vectors, deleted, meta = load_checkpoint(path)
+        self = cls.__new__(cls)
+        self.space = get_space(meta["space"], meta["dim"])
+        self.dim = meta["dim"]
+        self.m = meta["m"]
+        self.ef_construction = meta["ef_construction"]
+        self._builder = NativeHNSWBuilder.from_graph(
+            g, vectors, deleted, space=meta["space"],
+            ef_construction=meta["ef_construction"],
+        )
+        self._device = None
+        self._dirty = True
+        return self
+
+    def export_adj(self, path: str) -> None:
+        """Write the reference-compatible adjacency file
+        (format: index_builder/build.cpp:14-21)."""
+        from hnsw_tpu.io.adj import write_adj
+
+        write_adj(self._builder.export_graph(), path)

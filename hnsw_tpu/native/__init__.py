@@ -72,6 +72,12 @@ def load_builder_lib() -> ctypes.CDLL:
     lib.hnsw_upper_count.argtypes = [c.c_void_p, c.c_int]
     lib.hnsw_upper_count.restype = c.c_int64
     lib.hnsw_export_upper.argtypes = [c.c_void_p, c.c_int, P(c.c_int32), P(c.c_int32)]
+    lib.hnsw_import.restype = c.c_void_p
+    lib.hnsw_import.argtypes = [
+        c.c_int, c.c_int, c.c_int, c.c_int, c.c_uint64, c.c_int64,
+        P(c.c_float), P(c.c_int64), P(c.c_int32), P(c.c_uint8),
+        P(c.c_int32), P(c.c_int32), c.c_int, c.c_int,
+    ]
     lib.hnsw_search.argtypes = [
         c.c_void_p, P(c.c_float), c.c_int, c.c_int, P(c.c_int64), P(c.c_float),
     ]

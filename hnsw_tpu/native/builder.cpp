@@ -534,6 +534,56 @@ void hnsw_export_upper(HnswBuilder* b, int level, int32_t* out_ids,
   }
 }
 
+// Import a complete graph state (checkpoint/resume path: the Python side
+// holds the padded-CSR checkpoint; this rebuilds a live builder so the
+// index keeps accepting inserts/updates/deletes after load — the analog of
+// hnswlib::loadIndex, hnswalg.h:716-822).
+// `upper_flat`: for node i, node_level[i]*M int32 entries (level 1..top),
+// -1 padded, concatenated in node order.
+HnswBuilder* hnsw_import(int dim, int space, int M, int ef_construction,
+                         uint64_t seed, int64_t n, const float* vectors,
+                         const int64_t* labels, const int32_t* node_level,
+                         const uint8_t* deleted, const int32_t* level0,
+                         const int32_t* upper_flat, int max_level,
+                         int entry_point) {
+  auto* b = new HnswBuilder(dim, space, M, ef_construction, seed);
+  b->n = size_t(n);
+  b->data.assign(vectors, vectors + size_t(n) * dim);
+  b->labels.assign(labels, labels + n);
+  b->node_level.assign(node_level, node_level + n);
+  b->deleted.assign(deleted, deleted + n);
+  b->num_deleted = 0;
+  for (int64_t i = 0; i < n; ++i) b->num_deleted += deleted[i];
+  b->links0.assign(level0, level0 + size_t(n) * b->maxM0);
+  b->cnt0.resize(n);
+  for (int64_t i = 0; i < n; ++i) {
+    int c = 0;
+    const int32_t* row = level0 + size_t(i) * b->maxM0;
+    for (int j = 0; j < b->maxM0; ++j)
+      if (row[j] >= 0) ++c;
+    b->cnt0[i] = c;
+  }
+  b->links_upper.resize(n);
+  b->cnt_upper.resize(n);
+  size_t off = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int lv = node_level[i];
+    b->links_upper[i].assign(upper_flat + off, upper_flat + off + size_t(lv) * M);
+    off += size_t(lv) * M;
+    b->cnt_upper[i].resize(lv);
+    for (int l = 0; l < lv; ++l) {
+      int c = 0;
+      for (int j = 0; j < M; ++j)
+        if (b->links_upper[i][size_t(l) * M + j] >= 0) ++c;
+      b->cnt_upper[i][l] = c;
+    }
+  }
+  b->max_level = max_level;
+  b->entry_point = entry_point;
+  for (int64_t i = 0; i < n; ++i) b->label_to_id.emplace(labels[i], uint32_t(i));
+  return b;
+}
+
 int hnsw_search(HnswBuilder* b, const float* q, int k, int ef,
                 int64_t* out_labels, float* out_dists) {
   return b->search(q, k, ef, out_labels, out_dists);

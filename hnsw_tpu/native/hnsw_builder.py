@@ -46,6 +46,64 @@ class NativeHNSWBuilder:
             self.lib.hnsw_create(dim, space_id, m, ef_construction, seed)
         )
 
+    @classmethod
+    def from_graph(
+        cls,
+        g: "HNSWGraph",
+        vectors: np.ndarray,
+        deleted: np.ndarray | None = None,
+        space: str = "l2",
+        ef_construction: int = 200,
+        seed: int = 123,
+    ) -> "NativeHNSWBuilder":
+        """Rebuild a live builder from a padded-CSR graph (checkpoint/resume,
+        reference analog: hnswlib::loadIndex, hnswalg.h:716-822)."""
+        n = g.num_nodes
+        dim = vectors.shape[1]
+        m = g.max_m if g.max_level > 0 else g.max_m0 // 2
+        self = cls.__new__(cls)
+        self.lib = load_builder_lib()
+        self.dim = dim
+        self.space = space
+        self.m = m
+        self.ef_construction = ef_construction
+
+        v = np.ascontiguousarray(vectors, dtype=np.float32)
+        labels = np.ascontiguousarray(g.labels, dtype=np.int64)
+        node_level = np.ascontiguousarray(g.node_level, dtype=np.int32)
+        if deleted is None:
+            deleted = np.zeros(n, dtype=np.uint8)
+        deleted = np.ascontiguousarray(deleted, dtype=np.uint8)
+        level0 = np.ascontiguousarray(g.level0, dtype=np.int32)
+        assert level0.shape == (n, 2 * m)
+        # flat upper links: per node, node_level[i] * m entries (-1 padded)
+        parts = []
+        for i in range(n):
+            lv = int(node_level[i])
+            if lv == 0:
+                continue
+            row = np.full((lv, m), -1, dtype=np.int32)
+            for l in range(1, lv + 1):
+                slot = g.upper_slot[l - 1, i]
+                if slot >= 0:
+                    row[l - 1, : g.upper.shape[2]] = g.upper[l - 1, slot][:m]
+            parts.append(row.ravel())
+        upper_flat = (
+            np.concatenate(parts) if parts else np.zeros(1, dtype=np.int32)
+        ).astype(np.int32)
+        upper_flat = np.ascontiguousarray(upper_flat)
+
+        space_id = {"l2": 0, "ip": 1}[space]
+        self._h = ctypes.c_void_p(
+            self.lib.hnsw_import(
+                dim, space_id, m, ef_construction, seed, n,
+                _ptr(v, _F32P), _ptr(labels, _I64P), _ptr(node_level, _I32P),
+                _ptr(deleted, _U8P), _ptr(level0, _I32P), _ptr(upper_flat, _I32P),
+                g.max_level, g.entry_point,
+            )
+        )
+        return self
+
     def __del__(self):
         h = getattr(self, "_h", None)
         if h:
