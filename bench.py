@@ -1,0 +1,122 @@
+"""Headline benchmark: batched TPU HNSW query throughput at the reference's
+default operating point (N=100k, dim=128, M=16, efC=200, ef=200, k=10 —
+index_builder/build.cpp:111-115, hnsw_service/main.cpp:27-31), recall-gated
+at >= 0.95 vs the exact bruteforce oracle.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": X}
+vs_baseline = TPU QPS / native single-core CPU QPS on the same graph at the
+same ef (the hnswlib-equivalent baseline; BASELINE.md targets >= 10x).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N = int(os.environ.get("BENCH_N", 100_000))
+DIM = 128
+M = 16
+EF_C = 200
+K = 10
+EF = 200
+BATCH = int(os.environ.get("BENCH_BATCH", 2048))
+N_QUERY_BATCHES = 8
+CPU_BASELINE_QUERIES = 512
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hnsw_tpu.core.spaces import L2Space
+    from hnsw_tpu.models.bruteforce import BruteforceIndex
+    from hnsw_tpu.models.hnsw import HNSWIndex
+    from hnsw_tpu.ops.traversal import search_batch
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    rng = np.random.default_rng(123)
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+
+    t0 = time.time()
+    idx = HNSWIndex("l2", dim=DIM, m=M, ef_construction=EF_C)
+    idx.add_items(x)
+    build_s = time.time() - t0
+    log(f"build N={N}: {build_s:.1f}s ({N/build_s:.0f} inserts/s)")
+
+    # queries: perturbed samples; ground truth from the exact oracle
+    q = x[rng.integers(0, N, BATCH)] + 0.05 * rng.normal(size=(BATCH, DIM)).astype(
+        np.float32
+    )
+    oracle = BruteforceIndex(L2Space(DIM))
+    oracle.add_items(x, np.arange(N))
+    t0 = time.time()
+    _, gt = oracle.search_knn(q, K)
+    log(f"oracle ground truth: {time.time()-t0:.1f}s")
+
+    dg, vectors, sq, _, labels_np = idx._sync_device()
+    qd = jnp.asarray(q)
+
+    def run(queries):
+        res = search_batch(
+            vectors, dg, queries, k=K, ef=EF, space="l2", sq_norms=sq
+        )
+        return res.dists, res.ids
+
+    # compile + warm
+    t0 = time.time()
+    d, ids = run(qd)
+    d.block_until_ready()
+    log(f"compile+first: {time.time()-t0:.1f}s")
+
+    got = labels_np[np.minimum(np.asarray(ids), len(labels_np) - 1)]
+    recall = np.mean(
+        [len(set(got[i]) & set(gt[i])) / K for i in range(BATCH)]
+    )
+    log(f"recall@{K} (ef={EF}): {recall:.4f}")
+
+    # steady-state throughput
+    t0 = time.time()
+    for _ in range(N_QUERY_BATCHES):
+        d, ids = run(qd)
+    d.block_until_ready()
+    dt = time.time() - t0
+    qps = BATCH * N_QUERY_BATCHES / dt
+    log(f"TPU: {qps:.0f} qps (batch={BATCH}, {dt/N_QUERY_BATCHES*1000:.1f} ms/batch)")
+
+    # single-core CPU baseline (hnswlib-equivalent heap engine, same graph/ef)
+    t0 = time.time()
+    idx.search_cpu(q[:CPU_BASELINE_QUERIES], k=K, ef=EF)
+    cpu_dt = time.time() - t0
+    cpu_qps = CPU_BASELINE_QUERIES / cpu_dt
+    log(f"CPU single-core baseline: {cpu_qps:.0f} qps")
+
+    gated_qps = qps if recall >= 0.95 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": f"hnsw_query_qps_per_chip_N{N}_d{DIM}_ef{EF}_recall>=0.95",
+                "value": round(gated_qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(gated_qps / cpu_qps, 2),
+                "detail": {
+                    "recall_at_10": round(float(recall), 4),
+                    "build_s": round(build_s, 1),
+                    "cpu_single_core_qps": round(cpu_qps, 1),
+                    "batch": BATCH,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

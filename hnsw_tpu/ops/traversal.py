@@ -175,7 +175,12 @@ def search_batch(
         cur = jnp.broadcast_to(graph.entry_point, (b,)).astype(jnp.int32)
     else:
         cur = entry_ids.astype(jnp.int32)
+    # Guard invalid entry (empty graph / bad override): park on the dummy row
+    # with inf distance so it can never win a merge.
+    ent_ok = (cur >= 0) & (cur < num_nodes)
+    cur = jnp.where(ent_ok, cur, n_pad - 1)
     cur_d = gather_dist(q, vectors, cur[:, None], space, x_sq_norms=sq_norms)[:, 0]
+    cur_d = jnp.where(ent_ok, cur_d, _INF)
 
     # ---- upper layers (static python loop over levels; shapes static) -----
     for level in range(graph.max_level, 0, -1):

@@ -1,0 +1,284 @@
+"""Multi-device sharded HNSW search.
+
+The reference's only "distribution" is an HTTP storage/compute split on
+localhost (SURVEY.md §2: no collectives of any kind; per-vector HTTP GETs,
+hnsw_service/hnsw_graph.cpp:174-212). The TPU-native replacement follows
+BASELINE.json config 4: the dataset is partitioned into one complete HNSW
+sub-index per device, all device arrays are stacked [S, ...] and sharded over
+a mesh axis, queries are replicated; each device runs the batched beam
+traversal on its local shard inside `shard_map`, and per-shard top-k results
+are merged with one `all_gather` over ICI — the XLA-collective equivalent of
+the reference's per-node network fetches, at ~10^6x lower latency per hop.
+
+A second mesh axis ("dp") shards the query batch — the data-parallel axis —
+so a (dp, shard) 2D mesh scales both index size and query throughput.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hnsw_tpu.core.graph import (
+    DeviceGraph,
+    graph_device_arrays,
+    pad_vectors,
+    round_up,
+)
+from hnsw_tpu.core.spaces import Space, get_space
+from hnsw_tpu.ops.topk import topk_smallest
+from hnsw_tpu.ops.traversal import search_batch
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedIndexArrays:
+    """Stacked per-shard device arrays; leading axis S is sharded."""
+
+    vectors: jax.Array  # [S, n_pad, D]
+    sq_norms: jax.Array  # [S, n_pad] (zeros for ip space)
+    level0: jax.Array  # [S, n_pad, maxM0]
+    upper: jax.Array  # [S, L, U_pad, M]
+    upper_slot: jax.Array  # [S, L, n_pad]
+    labels: jax.Array  # [S, n_pad] int64 (-1 padding)
+    entry_point: jax.Array  # [S] int32
+    num_nodes: jax.Array  # [S] int32
+
+
+def _local_graph(a: ShardedIndexArrays) -> DeviceGraph:
+    """View the (already shard-local, leading dim stripped) arrays as a
+    DeviceGraph for search_batch."""
+    return DeviceGraph(
+        level0=a.level0,
+        upper=a.upper,
+        upper_slot=a.upper_slot,
+        labels=a.labels,
+        entry_point=a.entry_point,
+        num_nodes=a.num_nodes,
+    )
+
+
+def build_sharded_arrays(
+    shards: list[tuple["HNSWGraph", np.ndarray]],
+    space: Space,
+    mesh: Mesh,
+    shard_axis: str = "shard",
+) -> ShardedIndexArrays:
+    """Stack per-shard (graph, vectors) into uniform [S, ...] arrays and
+    place them sharded over `mesh[shard_axis]`. Pads every shard to common
+    n_pad / max_level / upper width so shapes are static."""
+    s = len(shards)
+    n_pad = max(round_up(g.num_nodes + 1, 128) for g, _ in shards)
+    max_l = max(g.max_level for g, _ in shards)
+    dim = shards[0][1].shape[1]
+    max_m0 = max(g.max_m0 for g, _ in shards)
+    max_m = max((g.max_m for g, _ in shards if g.max_level > 0), default=1)
+
+    dgs = []
+    for g, _ in shards:
+        assert g.max_m0 == max_m0, "shards must share maxM0"
+        dgs.append(graph_device_arrays(g, n_pad))
+
+    u_pad = max((dg.upper.shape[1] for dg in dgs if dg.max_level > 0), default=1)
+
+    level0 = np.zeros((s, n_pad, max_m0), dtype=np.int32)
+    upper = np.full((s, max_l, u_pad, max_m), n_pad - 1, dtype=np.int32)
+    upper_slot = np.full((s, max_l, n_pad), u_pad - 1, dtype=np.int32)
+    labels = np.full((s, n_pad), -1, dtype=np.int64)
+    entry = np.zeros(s, dtype=np.int32)
+    nn = np.zeros(s, dtype=np.int32)
+    vecs = np.zeros((s, n_pad, dim), dtype=np.float32)
+
+    for i, ((g, x), dg) in enumerate(zip(shards, dgs)):
+        level0[i] = np.asarray(dg.level0)
+        l_i = dg.max_level
+        if l_i > 0:
+            u_i = dg.upper.shape[1]
+            m_i = dg.upper.shape[2]
+            upper[i, :l_i, :u_i, :m_i] = np.asarray(dg.upper)
+            upper_slot[i, :l_i] = np.asarray(dg.upper_slot)
+        labels[i] = np.asarray(dg.labels)
+        entry[i] = int(dg.entry_point)
+        nn[i] = int(dg.num_nodes)
+        vecs[i] = pad_vectors(x, n_pad)
+
+    sq = (vecs.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+
+    shard_spec = lambda *rest: NamedSharding(mesh, P(shard_axis, *rest))
+    put = lambda a, spec: jax.device_put(jnp.asarray(a), spec)
+    return ShardedIndexArrays(
+        vectors=put(vecs, shard_spec(None, None)),
+        sq_norms=put(sq, shard_spec(None)),
+        level0=put(level0, shard_spec(None, None)),
+        upper=put(upper, shard_spec(None, None, None)),
+        upper_slot=put(upper_slot, shard_spec(None, None)),
+        labels=put(labels, shard_spec(None)),
+        entry_point=put(entry, shard_spec()),
+        num_nodes=put(nn, shard_spec()),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef", "space", "expand", "max_iters", "mesh", "dp_axis", "shard_axis"),
+)
+def sharded_search(
+    arrays: ShardedIndexArrays,
+    queries: jax.Array,  # [B, D], replicated (or dp-sharded) across devices
+    *,
+    k: int,
+    ef: int,
+    space: str = "l2",
+    expand: int = 1,
+    max_iters: int = 0,
+    mesh: Mesh,
+    dp_axis: str | None = None,
+    shard_axis: str = "shard",
+) -> tuple[jax.Array, jax.Array]:
+    """Search all shards and merge → (dists [B, k], labels [B, k] int64).
+
+    Inside shard_map each device searches its own sub-index with the full
+    single-chip kernel; the [S, B, k] partial results are all-gathered over
+    ICI and reduced by a length-S*k top-k merge, replicated back.
+    """
+    q_spec = P(dp_axis, None) if dp_axis else P()
+    # every index leaf is sharded on its leading [S] axis
+    arr_spec = ShardedIndexArrays(
+        vectors=P(shard_axis, None, None),
+        sq_norms=P(shard_axis, None),
+        level0=P(shard_axis, None, None),
+        upper=P(shard_axis, None, None, None),
+        upper_slot=P(shard_axis, None, None),
+        labels=P(shard_axis, None),
+        entry_point=P(shard_axis),
+        num_nodes=P(shard_axis),
+    )
+    out_spec = (q_spec, q_spec) if dp_axis else (P(), P())
+
+    def local(a: ShardedIndexArrays, q: jax.Array):
+        # strip the leading local-shard dim (size 1 per device)
+        a1 = jax.tree_util.tree_map(lambda t: t[0], a)
+        res = search_batch(
+            a1.vectors,
+            _local_graph(a1),
+            q,
+            k=k,
+            ef=ef,
+            space=space,
+            sq_norms=a1.sq_norms if space == "l2" else None,
+            expand=expand,
+            max_iters=max_iters,
+        )
+        # local ids -> global labels before leaving the shard
+        lab = jnp.take(a1.labels, jnp.clip(res.ids, 0, a1.labels.shape[0] - 1))
+        lab = jnp.where(jnp.isfinite(res.dists), lab, -1)
+        # all-gather partials over ICI, merge top-k (replicated result)
+        all_d = jax.lax.all_gather(res.dists, shard_axis)  # [S, B, k]
+        all_l = jax.lax.all_gather(lab, shard_axis)  # [S, B, k]
+        s = all_d.shape[0]
+        b = all_d.shape[1]
+        flat_d = jnp.moveaxis(all_d, 0, 1).reshape(b, s * k)
+        flat_l = jnp.moveaxis(all_l, 0, 1).reshape(b, s * k)
+        dk, pos = topk_smallest(flat_d, k)
+        lk = jnp.take_along_axis(flat_l, pos, axis=-1)
+        return dk, lk
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(arr_spec, q_spec),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    return fn(arrays, queries)
+
+
+class ShardedHNSWIndex:
+    """Dataset partitioned into one HNSW sub-index per mesh shard.
+
+    Build runs one native builder per shard in a thread pool (the C ABI
+    releases the GIL, so shard builds use all host cores — the reference's
+    build loop is strictly serial, index_builder/build.cpp:137-145).
+    """
+
+    def __init__(
+        self,
+        space: Space | str,
+        dim: int | None = None,
+        *,
+        mesh: Mesh,
+        shard_axis: str = "shard",
+        dp_axis: str | None = None,
+        m: int = 16,
+        ef_construction: int = 200,
+        seed: int = 123,
+    ):
+        if isinstance(space, str):
+            space = get_space(space, dim)
+        self.space = space
+        self.dim = space.dim
+        self.mesh = mesh
+        self.shard_axis = shard_axis
+        self.dp_axis = dp_axis
+        self.num_shards = mesh.shape[shard_axis]
+        self.m = m
+        self.ef_construction = ef_construction
+        self.seed = seed
+        self._builders = None
+        self._labels_per_shard = None
+        self._arrays: ShardedIndexArrays | None = None
+
+    def build(self, data: np.ndarray, labels: np.ndarray | None = None) -> None:
+        from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
+
+        data = self.space.preprocess(data)
+        n = data.shape[0]
+        if labels is None:
+            labels = np.arange(n, dtype=np.int64)
+        s = self.num_shards
+        # round-robin partition keeps shards balanced for any input order
+        parts = [np.arange(i, n, s) for i in range(s)]
+
+        def build_one(i):
+            b = NativeHNSWBuilder(
+                self.dim, self.space.name, self.m, self.ef_construction,
+                self.seed + i,
+            )
+            b.add_batch(data[parts[i]], labels[parts[i]])
+            return b
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=s) as ex:
+            self._builders = list(ex.map(build_one, range(s)))
+
+        shards = [
+            (b.export_graph(), b.export_vectors()) for b in self._builders
+        ]
+        self._arrays = build_sharded_arrays(shards, self.space, self.mesh, self.shard_axis)
+
+    @property
+    def arrays(self) -> ShardedIndexArrays:
+        assert self._arrays is not None, "call build() first"
+        return self._arrays
+
+    def search(
+        self, queries: np.ndarray, k: int = 10, ef: int = 200, expand: int = 1
+    ) -> tuple[np.ndarray, np.ndarray]:
+        q = jnp.asarray(self.space.preprocess(queries))
+        d, l = sharded_search(
+            self.arrays,
+            q,
+            k=k,
+            ef=max(ef, k),
+            space=self.space.name,
+            expand=expand,
+            mesh=self.mesh,
+            dp_axis=self.dp_axis,
+            shard_axis=self.shard_axis,
+        )
+        return np.asarray(d), np.asarray(l)
