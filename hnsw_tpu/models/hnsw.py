@@ -44,6 +44,7 @@ class HNSWIndex:
         m: int = 16,
         ef_construction: int = 200,
         seed: int = 123,
+        inline_neighbors: bool | None = None,
     ):
         if isinstance(space, str):
             assert dim is not None, "dim required when space given by name"
@@ -52,6 +53,12 @@ class HNSWIndex:
         self.dim = space.dim
         self.m = m
         self.ef_construction = ef_construction
+        # Inline neighbor-vector table (fast traversal path): one contiguous
+        # DMA per hop instead of maxM0 random row reads. Costs maxM0 x extra
+        # HBM for (bf16) vectors; default on for TPU backends.
+        if inline_neighbors is None:
+            inline_neighbors = jax.default_backend() == "tpu"
+        self.inline_neighbors = inline_neighbors
         from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
 
         self._builder = NativeHNSWBuilder(
@@ -106,11 +113,17 @@ class HNSWIndex:
             if self.space.needs_sq_norms
             else None
         )
+        if self.inline_neighbors:
+            from hnsw_tpu.ops.pallas_gather import make_inline_neighbors
+
+            nbr_vec = jax.block_until_ready(make_inline_neighbors(x, dg.level0))
+        else:
+            nbr_vec = None
         deleted = np.zeros(n_pad, dtype=bool)
         deleted[:n] = self._builder.export_deleted().astype(bool)
         labels_np = np.full(n_pad, -1, dtype=np.int64)
         labels_np[:n] = np.asarray(jax.device_get(dg.labels))[:n]
-        self._device = (dg, x, sq, deleted, labels_np)
+        self._device = (dg, x, sq, deleted, labels_np, nbr_vec)
         self._dirty = False
         return self._device
 
@@ -146,8 +159,16 @@ class HNSWIndex:
         """
         if params is None:
             params = SearchParams(k=k, ef=max(ef, k))
-        dg, x, sq, deleted, labels_np = self._sync_device()
-        q = jnp.asarray(self.space.preprocess(queries))
+        dg, x, sq, deleted, labels_np, nbr_vec = self._sync_device()
+        q_np = self.space.preprocess(queries)
+        b0 = q_np.shape[0]
+        # Pallas hop kernel tiles the batch by >=8 queries.
+        b_pad = ((b0 + 15) // 16) * 16
+        if b_pad != b0:
+            q_np = np.concatenate(
+                [q_np, np.zeros((b_pad - b0, self.dim), np.float32)]
+            )
+        q = jnp.asarray(q_np)
 
         eligible = None
         if deleted.any() or filter_labels is not None:
@@ -168,18 +189,29 @@ class HNSWIndex:
             space=self.space.name,
             sq_norms=sq,
             eligible=eligible,
-            entry_ids=None if entry_ids is None else jnp.asarray(entry_ids),
+            entry_ids=None
+            if entry_ids is None
+            else jnp.asarray(
+                np.concatenate(
+                    [np.asarray(entry_ids), np.zeros(b_pad - b0, np.int32)]
+                ).astype(np.int32)
+            ),
+            nbr_vectors=nbr_vec,
             expand=params.expand,
             max_iters=params.max_iters,
             collect_metrics=params.collect_metrics,
             has_mask=eligible is not None,
+            interpret=jax.default_backend() != "tpu",
         )
-        dists = np.asarray(res.dists)
-        ids = np.asarray(res.ids)
+        dists = np.asarray(res.dists)[:b0]
+        ids = np.asarray(res.ids)[:b0]
         labels = np.where(ids < len(labels_np), labels_np[np.minimum(ids, len(labels_np) - 1)], -1)
         labels = np.where(np.isfinite(dists), labels, -1)
         self.last_metrics = SearchResults(
-            res.dists, res.ids, np.asarray(res.hops), np.asarray(res.dist_comps)
+            res.dists[:b0],
+            res.ids[:b0],
+            np.asarray(res.hops)[:b0],
+            np.asarray(res.dist_comps)[:b0],
         )
         return dists, labels
 
@@ -217,6 +249,7 @@ class HNSWIndex:
         self.dim = meta["dim"]
         self.m = meta["m"]
         self.ef_construction = meta["ef_construction"]
+        self.inline_neighbors = jax.default_backend() == "tpu"
         self._builder = NativeHNSWBuilder.from_graph(
             g, vectors, deleted, space=meta["space"],
             ef_construction=meta["ef_construction"],

@@ -1,0 +1,224 @@
+"""Pallas TPU kernel: fused gather-rows + distance.
+
+The traversal's hot op is "fetch K neighbor vectors per query, compute K
+distances" (reference inner loop: hnswlib/hnswalg.h:377-435). XLA lowers the
+row gather to a serial ~100ns/row stream — memory-latency bound, and the
+single biggest cost in the whole query path. This kernel instead issues all
+rows of a (TB queries x K neighbors) tile as concurrent async DMAs
+(HBM -> VMEM), hiding HBM latency across hundreds of in-flight copies, then
+computes squared-L2 / IP distances on the tile with one batched contraction.
+
+x_sq_norms are not needed: ||x||^2 is recomputed on the VPU from the gathered
+rows (flops are free here; bytes are not).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _gather_dist_kernel(ids_ref, q_ref, table_ref, out_ref, rows, sems, *, tb, k, ip):
+    base = pl.program_id(0) * tb
+    # Issue one DMA per (query, neighbor) row — all concurrent — then wait.
+    def _dma(t, j):
+        return pltpu.make_async_copy(
+            table_ref.at[ids_ref[base + t, j]], rows.at[t * k + j], sems.at[t * k + j]
+        )
+
+    for t in range(tb):
+        for j in range(k):
+            _dma(t, j).start()
+    for t in range(tb):
+        for j in range(k):
+            _dma(t, j).wait()
+
+    r = rows[:]  # [tb*k, d]
+    q = q_ref[:]  # [tb, d]
+    qx = jax.lax.dot_general(
+        r.reshape(tb, k, r.shape[-1]),
+        q,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [tb, k]
+    if ip:
+        out_ref[:] = 1.0 - qx
+    else:
+        x2 = jnp.sum(r.astype(jnp.float32) * r, axis=-1).reshape(tb, k)
+        q2 = jnp.sum(q.astype(jnp.float32) * q, axis=-1)[:, None]
+        out_ref[:] = jnp.maximum(q2 + x2 - 2.0 * qx, 0.0)
+
+
+def _hop_dist_kernel(
+    chosen_ref,  # SMEM scalar-prefetch [ceil(B*E/128), 128] (lane-packed)
+    q_ref,  # VMEM [tb, d]
+    nbrvec_ref,  # ANY/HBM [N_pad, m0, d] bf16
+    out_ref,  # VMEM [tb, e*m0] f32
+    rows,  # VMEM scratch [2, tb*e, m0, d] bf16 (double-buffered)
+    sems,  # DMA sems [2]
+    *,
+    tb,
+    e,
+    m0,
+    d,
+    ip,
+):
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    em = e * m0
+
+    def issue(s, buf):
+        base = s * tb * e
+        for t in range(tb):
+            for j in range(e):
+                f = base + t * e + j
+                pltpu.make_async_copy(
+                    nbrvec_ref.at[chosen_ref[f // 128, f % 128]],
+                    rows.at[buf, t * e + j],
+                    sems.at[buf],
+                ).start()
+
+    @pl.when(step == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(step + 1 < nsteps)
+    def _():
+        issue(step + 1, (step + 1) % 2)
+
+    buf = step % 2
+    # One wait for the whole tile: DMA semaphores count bytes, and this
+    # descriptor's size equals the sum of the row transfers above.
+    pltpu.make_async_copy(nbrvec_ref.at[0], rows.at[buf], sems.at[buf]).wait()
+
+    # Distances via one MXU tile: [tb*em, d] x [tb, d]^T, then pick each
+    # row's own query column with a one-hot reduce (gathers are slow; a
+    # factor-tb of wasted MXU flops is free).
+    r = rows[buf].reshape(tb * em, d)
+    qb = q_ref[:].astype(r.dtype)
+    qx = jax.lax.dot_general(
+        r, qb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [tb*em, tb]
+    if ip:
+        full = (1.0 - qx).reshape(tb, em, tb)
+    else:
+        r32 = r.astype(jnp.float32)
+        x2 = jnp.sum(r32 * r32, axis=1, keepdims=True)  # [tb*em, 1]
+        q32 = q_ref[:].astype(jnp.float32)
+        q2 = jnp.sum(q32 * q32, axis=1)  # [tb]
+        full = (q2[None, :] + x2 - 2.0 * qx).reshape(tb, em, tb)
+    eye = jax.lax.broadcasted_iota(jnp.int32, (tb, 1, tb), 0) == (
+        jax.lax.broadcasted_iota(jnp.int32, (tb, 1, tb), 2)
+    )
+    out_ref[:] = jnp.sum(jnp.where(eye, full, 0.0), axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("space", "m0", "tb", "interpret"))
+def hop_dist_inline(
+    q: Array,  # [B, D]
+    nbr_vectors: Array,  # [N_pad, M0, D] bf16 — node i's M0 neighbors' vectors
+    chosen: Array,  # [B, E] int32 node ids to expand (in-range)
+    m0: int,
+    space: str = "l2",
+    tb: int = 16,
+    interpret: bool = False,
+) -> Array:
+    """[B, E*M0] distances from q[b] to every inline neighbor vector of the
+    chosen nodes. One contiguous 8-16KB DMA per (query, chosen) instead of
+    M0 random 512-byte reads — the descriptor-issue-bound gather becomes
+    bandwidth-bound."""
+    b, d = q.shape
+    e = chosen.shape[1]
+    assert nbr_vectors.shape[1:] == (m0, d)
+    tb = min(tb, b)
+    while b % tb != 0 and tb > 8:
+        tb //= 2
+    assert tb >= 8 and b % tb == 0, f"batch {b} must be a multiple of tb>=8"
+    grid = (b // tb,)
+    # Lane-pack the ids: a [B, E] scalar-prefetch operand is padded to 128
+    # lanes per row in SMEM (1 MB at B=2048) and overflows; [P, 128] wastes
+    # at most one row.
+    flat = chosen.reshape(-1)
+    p = -(-flat.shape[0] // 128)
+    flat = jnp.pad(flat, (0, p * 128 - flat.shape[0]))
+    chosen_packed = flat.reshape(p, 128)
+    kernel = functools.partial(
+        _hop_dist_kernel, tb=tb, e=e, m0=m0, d=d, ip=space == "ip"
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tb, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (tb, e * m0), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, tb * e, m0, d), nbr_vectors.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, e * m0), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(chosen_packed, q, nbr_vectors)
+
+
+def make_inline_neighbors(
+    vectors: Array, level0: Array, dtype=jnp.bfloat16
+) -> Array:
+    """Build the [N_pad, M0, D] inline neighbor-vector table from the vector
+    table and level-0 adjacency (one-time cost at index upload)."""
+    n_pad, m0 = level0.shape
+    d = vectors.shape[1]
+    rows = jnp.take(vectors, level0.reshape(-1), axis=0).astype(dtype)
+    return rows.reshape(n_pad, m0, d)
+
+
+@functools.partial(jax.jit, static_argnames=("space", "tb", "interpret"))
+def gather_dist_pallas(
+    q: Array,  # [B, D]
+    table: Array,  # [N, D]
+    ids: Array,  # [B, K] int32 (must be in-range)
+    space: str = "l2",
+    tb: int = 8,
+    interpret: bool = False,
+) -> Array:
+    """[B, K] distances from q[b] to table[ids[b, j]]."""
+    b, d = q.shape
+    k = ids.shape[1]
+    assert b % tb == 0, f"batch {b} must be divisible by tile {tb}"
+    grid = (b // tb,)
+    kernel = functools.partial(_gather_dist_kernel, tb=tb, k=k, ip=space == "ip")
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # ids: whole [B, K] array in SMEM
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tb, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (tb, k), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tb * k, d), table.dtype),
+                pltpu.SemaphoreType.DMA((tb * k,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, k), jnp.float32),
+        interpret=interpret,
+    )(ids, q, table)

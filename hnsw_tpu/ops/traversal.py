@@ -7,32 +7,34 @@ over upper layers (1278-1303), then a heap-driven best-first beam over level 0
 (visited_list_pool.h). None of that maps to a TPU.
 
 This module re-expresses it as a *batched, fixed-shape, masked* program under
-`jit`:
+`jit`, shaped by what is actually fast on the hardware (measured on v5e):
 
-- A whole batch B of queries traverses simultaneously.
-- The beam is a sorted (ascending distance) array of `ef` (id, dist, expanded)
-  triples per query. One traversal step expands the `expand` best unexpanded
-  entries, gathers their level-0 neighbor lists (one HBM gather), computes all
-  neighbor distances as one batched contraction (MXU), and merges candidates
-  back into the beam with a length-(ef + expand*maxM0) sort.
-- The visited set is a per-query byte vector in HBM ([B, N_pad] uint8),
-  written with one scatter per step — replacing the reference's pooled
-  epoch arrays (hnswlib/visited_list_pool.h:10-77).
-- Termination is per-query (no unexpanded beam entry) inside one global
-  `lax.while_loop`; finished queries become no-ops via masking.
-
-Because every candidate is marked visited when it *enters* the beam, the beam
-never holds duplicates, so the final beam prefix is exactly top-k.
-
-Filtering (BaseFilterFunctor semantics, hnswlib/hnswlib.h:128-132) and
-delete-marks (hnswalg.h:853-900) are an `eligible` mask over node ids:
-ineligible nodes are traversed but collected into the result list — a separate
-sorted (id, dist) array maintained only when a mask is passed — exactly the
-reference's searchBaseLayerST behavior for deleted/filtered points.
+- Random single-row HBM gathers cost ~100ns each in XLA (descriptor-issue
+  bound) — so the hot path avoids them. The index stores an *inline
+  neighbor-vector table* [N_pad, maxM0, D] (bf16): expanding a node is ONE
+  contiguous 8-16KB DMA + an MXU tile of distances, done by the Pallas
+  kernel hop_dist_inline (hnsw_tpu/ops/pallas_gather.py).
+- Scatters and take_along_axis on TPU serialize per element — so there is no
+  [B, N] visited array at all. Dedup is an O(EM * (ef + H)) vectorized
+  membership test of new candidates against the beam and a short ring
+  history of recently expanded ids: pure VPU compares. (Semantics: a node
+  that was expanded, evicted, and forgotten by the ring may be re-scored —
+  wasted work only, never a duplicate result, since beam membership is
+  always checked.)
+- Beam updates are length-(ef+EM) single-key sorts with the expanded flag
+  packed into the id payload (id*2+flag) — XLA sorts are fast (~30us at
+  [512, 232]); it's the gathers that were slow.
+- All within-beam selections use one-hot compare-reduce instead of gather.
 
 Per-query hop and distance-computation counters (the reference's
 metric_hops / metric_distance_computations, hnswalg.h:65-66) are carried in
 the loop state and returned when `collect_metrics=True`.
+
+Filtering (BaseFilterFunctor semantics, hnswlib/hnswlib.h:128-132) and
+delete-marks (hnswalg.h:853-900) are an `eligible` mask over node ids:
+ineligible nodes are traversed but only eligible ones enter the separate
+result list — exactly the reference's searchBaseLayerST behavior for
+deleted/filtered points.
 """
 
 from __future__ import annotations
@@ -64,16 +66,8 @@ class SearchResults(NamedTuple):
 
 
 def _greedy_descent_level(
-    q: Array,  # [B, D]
-    vectors: Array,  # [N_pad, D]
-    sq_norms: Array | None,
-    nbr_table: Array,  # [U_pad, M] neighbor ids at this level
-    slot_map: Array,  # [N_pad] node id -> slot
-    cur: Array,  # [B] int32
-    cur_d: Array,  # [B] f32
-    num_nodes: Array,
-    space: str,
-) -> tuple[Array, Array]:
+    q, vectors, sq_norms, nbr_table, slot_map, cur, cur_d, num_nodes, space
+):
     """Batched greedy 1-best walk on one upper level until no query improves."""
 
     def cond(state):
@@ -89,8 +83,11 @@ def _greedy_descent_level(
         d = gather_dist(q, vectors, safe, space, x_sq_norms=sq_norms)
         d = jnp.where(valid, d, _INF)
         best = jnp.argmin(d, axis=-1)  # [B]
-        best_d = jnp.take_along_axis(d, best[:, None], axis=-1)[:, 0]
-        best_id = jnp.take_along_axis(nbrs, best[:, None], axis=-1)[:, 0]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) == best[:, None]
+        )
+        best_d = jnp.min(d, axis=-1)
+        best_id = jnp.sum(jnp.where(onehot, nbrs, 0), axis=-1)
         improved = best_d < cur_d
         cur = jnp.where(improved, best_id, cur)
         cur_d = jnp.where(improved, best_d, cur_d)
@@ -108,20 +105,13 @@ def _greedy_descent_level(
 
 class _BeamState(NamedTuple):
     beam_d: Array  # [B, ef] ascending
-    beam_id: Array  # [B, ef]
-    beam_exp: Array  # [B, ef] bool
-    res_d: Array  # [B, ef] (filtered results; unused when no mask)
+    beam_key: Array  # [B, ef] int32: id*2 + expanded_flag
+    hist: Array  # [B, H] recently expanded ids
+    res_d: Array  # [B, ef] filtered results (unused when no mask)
     res_id: Array  # [B, ef]
-    visited: Array  # [B, N_pad] uint8 (bitpacked later rounds)
-    hops: Array  # [B] int32
-    dist_comps: Array  # [B] int32
-    it: Array  # [] int32
-
-
-def _sort_beam(d: Array, i: Array, e: Array, ef: int):
-    """Sort (dist, id) lexicographically, carry expanded flags; keep first ef."""
-    d, i, e = jax.lax.sort((d, i, e), dimension=-1, num_keys=2)
-    return d[..., :ef], i[..., :ef], e[..., :ef]
+    hops: Array  # [B]
+    dist_comps: Array  # [B]
+    it: Array  # []
 
 
 @functools.partial(
@@ -134,6 +124,8 @@ def _sort_beam(d: Array, i: Array, e: Array, ef: int):
         "max_iters",
         "collect_metrics",
         "has_mask",
+        "hist_len",
+        "interpret",
     ),
 )
 def search_batch(
@@ -147,10 +139,13 @@ def search_batch(
     sq_norms: Array | None = None,
     eligible: Array | None = None,  # [N_pad] bool; None => all eligible
     entry_ids: Array | None = None,  # [B] int32 per-query entry override
+    nbr_vectors: Array | None = None,  # [N_pad, maxM0, D] inline table (fast path)
     expand: int = 1,
     max_iters: int = 0,  # 0 => default 2*ef + 16
+    hist_len: int = 0,  # 0 => default ef
     collect_metrics: bool = False,
     has_mask: bool = False,
+    interpret: bool = False,
 ) -> SearchResults:
     """Batched HNSW search over a device-resident padded-CSR graph.
 
@@ -161,9 +156,13 @@ def search_batch(
     assert ef >= k, "ef must be >= k"
     if max_iters <= 0:
         max_iters = 2 * ef + 16
+    if hist_len <= 0:
+        hist_len = ef
     b, _ = queries.shape
     n_pad, max_m0 = graph.level0.shape
+    em = expand * max_m0
     num_nodes = graph.num_nodes
+    sent = n_pad - 1
     q = queries
 
     use_mask = has_mask and eligible is not None
@@ -178,11 +177,11 @@ def search_batch(
     # Guard invalid entry (empty graph / bad override): park on the dummy row
     # with inf distance so it can never win a merge.
     ent_ok = (cur >= 0) & (cur < num_nodes)
-    cur = jnp.where(ent_ok, cur, n_pad - 1)
+    cur = jnp.where(ent_ok, cur, sent)
     cur_d = gather_dist(q, vectors, cur[:, None], space, x_sq_norms=sq_norms)[:, 0]
     cur_d = jnp.where(ent_ok, cur_d, _INF)
 
-    # ---- upper layers (static python loop over levels; shapes static) -----
+    # ---- upper layers (static python loop over levels) --------------------
     for level in range(graph.max_level, 0, -1):
         cur, cur_d = _greedy_descent_level(
             q,
@@ -197,83 +196,93 @@ def search_batch(
         )
 
     # ---- level-0 beam ------------------------------------------------------
-    sent_d = jnp.float32(_INF)
-    beam_d = jnp.full((b, ef), sent_d)
-    beam_id = jnp.full((b, ef), n_pad - 1, dtype=jnp.int32)
-    beam_exp = jnp.zeros((b, ef), dtype=bool)
+    beam_d = jnp.full((b, ef), _INF)
+    beam_key = jnp.full((b, ef), sent * 2, dtype=jnp.int32)
     beam_d = beam_d.at[:, 0].set(cur_d)
-    beam_id = beam_id.at[:, 0].set(cur)
+    beam_key = beam_key.at[:, 0].set(cur * 2)
 
-    res_d = jnp.full((b, ef), sent_d)
-    res_id = jnp.full((b, ef), n_pad - 1, dtype=jnp.int32)
+    hist = jnp.full((b, hist_len), sent, dtype=jnp.int32)
+
+    res_d = jnp.full((b, ef), _INF)
+    res_id = jnp.full((b, ef), sent, dtype=jnp.int32)
     if use_mask:
-        ent_ok = jnp.take(eligible, cur, axis=0)
-        res_d = res_d.at[:, 0].set(jnp.where(ent_ok, cur_d, _INF))
-        res_id = res_id.at[:, 0].set(jnp.where(ent_ok, cur, n_pad - 1))
+        e_ok = jnp.take(eligible, cur, axis=0) & (cur_d < _INF)
+        res_d = res_d.at[:, 0].set(jnp.where(e_ok, cur_d, _INF))
+        res_id = res_id.at[:, 0].set(jnp.where(e_ok, cur, sent))
 
-    visited = jnp.zeros((b, n_pad), dtype=jnp.uint8)
-    visited = visited.at[jnp.arange(b), cur].set(1)
-
-    rows = jnp.arange(b, dtype=jnp.int32)[:, None]  # [B, 1]
+    iota_ef = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
 
     def cond(st: _BeamState):
-        unexp = (~st.beam_exp) & (st.beam_d < _INF)
-        return jnp.logical_and(st.it < max_iters, jnp.any(unexp))
+        unexp = (st.beam_key & 1) == 0
+        live = unexp & (st.beam_d < _INF)
+        return jnp.logical_and(st.it < max_iters, jnp.any(live))
 
     def body(st: _BeamState):
-        unexp = (~st.beam_exp) & (st.beam_d < _INF)
+        beam_id = st.beam_key >> 1
+        beam_exp = (st.beam_key & 1) == 1
+        unexp = (~beam_exp) & (st.beam_d < _INF)
         active = jnp.any(unexp, axis=-1)  # [B]
-        # Pick `expand` best unexpanded entries (beam is sorted, so the
-        # smallest keys win). key=inf where expanded/invalid.
+
+        # Select the `expand` best unexpanded entries (beam is sorted).
         key = jnp.where(unexp, st.beam_d, _INF)
-        _, sel = jax.lax.top_k(-key, expand)  # [B, E] positions in beam
-        sel_valid = jnp.take_along_axis(unexp, sel, axis=-1)  # [B, E]
-        chosen = jnp.take_along_axis(st.beam_id, sel, axis=-1)  # [B, E]
-        chosen = jnp.where(sel_valid, chosen, n_pad - 1)
-        beam_exp = st.beam_exp.at[rows[:, 0][:, None], sel].max(sel_valid)
+        sel_d, sel = jax.lax.top_k(-key, expand)  # [B, E]
+        sel_valid = sel_d > -_INF
+        onehot = iota_ef[:, None, :] == sel[:, :, None]  # [B, E, ef]
+        onehot = onehot & sel_valid[:, :, None]
+        chosen = jnp.sum(jnp.where(onehot, beam_id[:, None, :], 0), axis=-1)
+        chosen = jnp.where(sel_valid, chosen, sent)  # [B, E]
+        new_exp = jnp.any(onehot, axis=1)  # [B, ef]
+        beam_key2 = st.beam_key | new_exp.astype(jnp.int32)
 
-        # Gather neighbor lists: one HBM gather of E rows per query.
-        nbrs = jnp.take(graph.level0, chosen, axis=0)  # [B, E, M0]
-        nbrs = nbrs.reshape(b, expand * max_m0)
-        in_range = nbrs < num_nodes
-        # Visited-check + mark, sequentially over the E groups so that a
-        # neighbor shared by two expanded nodes is admitted exactly once
-        # (within one group ids are unique by graph invariant).
-        visited = st.visited
-        if expand == 1:
-            seen = jnp.take_along_axis(visited, jnp.where(in_range, nbrs, 0), axis=-1)
-            fresh = in_range & (seen == 0) & active[:, None]
-            visited = visited.at[rows, nbrs].max(fresh.astype(jnp.uint8))
+        # Fetch neighbor ids (one row gather per chosen) and distances.
+        nbrs = jnp.take(graph.level0, chosen, axis=0).reshape(b, em)
+        if nbr_vectors is not None:
+            from hnsw_tpu.ops.pallas_gather import hop_dist_inline
+
+            d = hop_dist_inline(
+                q, nbr_vectors, chosen, max_m0, space, interpret=interpret
+            )
         else:
-            fresh_groups = []
-            for e in range(expand):
-                sl = slice(e * max_m0, (e + 1) * max_m0)
-                nb_e = nbrs[:, sl]
-                ir_e = in_range[:, sl]
-                seen = jnp.take_along_axis(visited, jnp.where(ir_e, nb_e, 0), axis=-1)
-                f_e = ir_e & (seen == 0) & active[:, None]
-                visited = visited.at[rows, nb_e].max(f_e.astype(jnp.uint8))
-                fresh_groups.append(f_e)
-            fresh = jnp.concatenate(fresh_groups, axis=-1)
+            safe_n = jnp.where(nbrs < n_pad, nbrs, sent)
+            d = gather_dist(q, vectors, safe_n, space, x_sq_norms=sq_norms)
 
-        safe = jnp.where(fresh, nbrs, 0)
-        d = gather_dist(q, vectors, safe, space, x_sq_norms=sq_norms)
+        in_range = nbrs < num_nodes
+        # Dedup: candidate already in beam, in recent history, or duplicated
+        # earlier within this hop's candidate block (E > 1 only).
+        in_beam = jnp.any(
+            nbrs[:, :, None] == beam_id[:, None, :], axis=-1
+        )
+        in_hist = jnp.any(nbrs[:, :, None] == st.hist[:, None, :], axis=-1)
+        fresh = in_range & ~in_beam & ~in_hist & active[:, None]
+        if expand > 1:
+            eq = nbrs[:, :, None] == nbrs[:, None, :]  # [B, EM, EM]
+            earlier = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, em, em), 2)
+                < jax.lax.broadcasted_iota(jnp.int32, (1, em, em), 1)
+            )
+            dup_earlier = jnp.any(eq & earlier & fresh[:, None, :], axis=-1)
+            fresh = fresh & ~dup_earlier
+
         d = jnp.where(fresh, d, _INF)
-        cand_id = jnp.where(fresh, nbrs, n_pad - 1)
+        cand_key = jnp.where(fresh, nbrs * 2, sent * 2)
 
-        # Merge into beam.
+        # Merge into beam: single-key sort over ef + EM entries.
         md = jnp.concatenate([st.beam_d, d], axis=-1)
-        mi = jnp.concatenate([st.beam_id, cand_id], axis=-1)
-        me = jnp.concatenate([beam_exp, jnp.zeros_like(fresh)], axis=-1)
-        beam_d, beam_id2, beam_exp2 = _sort_beam(md, mi, me, ef)
+        mk = jnp.concatenate([beam_key2, cand_key], axis=-1)
+        md, mk = jax.lax.sort((md, mk), dimension=-1, num_keys=1)
+        beam_d2, beam_key3 = md[:, :ef], mk[:, :ef]
+
+        # Push chosen into the ring history.
+        hist2 = jnp.concatenate([chosen, st.hist[:, :-expand]], axis=-1)
 
         if use_mask:
-            ok = jnp.take(eligible, safe, axis=0) & fresh
+            safe_n = jnp.where(nbrs < n_pad, nbrs, sent)
+            ok = jnp.take(eligible, safe_n, axis=0) & fresh
             rd = jnp.where(ok, d, _INF)
-            ri = jnp.where(ok, nbrs, n_pad - 1)
+            ri = jnp.where(ok, nbrs, sent)
             rmd = jnp.concatenate([st.res_d, rd], axis=-1)
             rmi = jnp.concatenate([st.res_id, ri], axis=-1)
-            rmd, rmi = jax.lax.sort((rmd, rmi), dimension=-1, num_keys=2)
+            rmd, rmi = jax.lax.sort((rmd, rmi), dimension=-1, num_keys=1)
             res_d2, res_id2 = rmd[:, :ef], rmi[:, :ef]
         else:
             res_d2, res_id2 = st.res_d, st.res_id
@@ -285,17 +294,15 @@ def search_batch(
             hops, dist_comps = st.hops, st.dist_comps
 
         return _BeamState(
-            beam_d, beam_id2, beam_exp2, res_d2, res_id2, visited, hops, dist_comps,
-            st.it + 1,
+            beam_d2, beam_key3, hist2, res_d2, res_id2, hops, dist_comps, st.it + 1
         )
 
     init = _BeamState(
         beam_d,
-        beam_id,
-        beam_exp,
+        beam_key,
+        hist,
         res_d,
         res_id,
-        visited,
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), jnp.int32),
         jnp.asarray(0, jnp.int32),
@@ -305,5 +312,5 @@ def search_batch(
     if use_mask:
         out_d, out_i = final.res_d[:, :k], final.res_id[:, :k]
     else:
-        out_d, out_i = final.beam_d[:, :k], final.beam_id[:, :k]
+        out_d, out_i = final.beam_d[:, :k], final.beam_key[:, :k] >> 1
     return SearchResults(out_d, out_i, final.hops, final.dist_comps)

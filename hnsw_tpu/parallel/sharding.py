@@ -39,7 +39,11 @@ from hnsw_tpu.ops.traversal import search_batch
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShardedIndexArrays:
-    """Stacked per-shard device arrays; leading axis S is sharded."""
+    """Stacked per-shard device arrays; leading axis S is sharded.
+
+    `nbr_vectors` is the inline neighbor-vector fast-path table (may be a
+    dummy [S, 1, 1, 1] when disabled — aux fields must stay arrays to remain
+    a jit-able pytree)."""
 
     vectors: jax.Array  # [S, n_pad, D]
     sq_norms: jax.Array  # [S, n_pad] (zeros for ip space)
@@ -49,6 +53,7 @@ class ShardedIndexArrays:
     labels: jax.Array  # [S, n_pad] int64 (-1 padding)
     entry_point: jax.Array  # [S] int32
     num_nodes: jax.Array  # [S] int32
+    nbr_vectors: jax.Array  # [S, n_pad, maxM0, D] bf16, or [S,1,1,1] dummy
 
 
 def _local_graph(a: ShardedIndexArrays) -> DeviceGraph:
@@ -69,6 +74,7 @@ def build_sharded_arrays(
     space: Space,
     mesh: Mesh,
     shard_axis: str = "shard",
+    inline_neighbors: bool | None = None,
 ) -> ShardedIndexArrays:
     """Stack per-shard (graph, vectors) into uniform [S, ...] arrays and
     place them sharded over `mesh[shard_axis]`. Pads every shard to common
@@ -110,17 +116,34 @@ def build_sharded_arrays(
 
     sq = (vecs.astype(np.float64) ** 2).sum(-1).astype(np.float32)
 
+    if inline_neighbors is None:
+        inline_neighbors = jax.default_backend() == "tpu"
+
     shard_spec = lambda *rest: NamedSharding(mesh, P(shard_axis, *rest))
     put = lambda a, spec: jax.device_put(jnp.asarray(a), spec)
+    vecs_dev = put(vecs, shard_spec(None, None))
+    level0_dev = put(level0, shard_spec(None, None))
+    if inline_neighbors:
+        from hnsw_tpu.ops.pallas_gather import make_inline_neighbors
+
+        nbr_vec = jax.jit(
+            jax.vmap(make_inline_neighbors),
+            out_shardings=shard_spec(None, None, None),
+        )(vecs_dev, level0_dev)
+    else:
+        nbr_vec = put(
+            np.zeros((s, 1, 1, 1), dtype=np.float16), shard_spec(None, None, None)
+        )
     return ShardedIndexArrays(
-        vectors=put(vecs, shard_spec(None, None)),
+        vectors=vecs_dev,
         sq_norms=put(sq, shard_spec(None)),
-        level0=put(level0, shard_spec(None, None)),
+        level0=level0_dev,
         upper=put(upper, shard_spec(None, None, None)),
         upper_slot=put(upper_slot, shard_spec(None, None)),
         labels=put(labels, shard_spec(None)),
         entry_point=put(entry, shard_spec()),
         num_nodes=put(nn, shard_spec()),
+        nbr_vectors=nbr_vec,
     )
 
 
@@ -158,8 +181,13 @@ def sharded_search(
         labels=P(shard_axis, None),
         entry_point=P(shard_axis),
         num_nodes=P(shard_axis),
+        nbr_vectors=P(shard_axis, None, None, None),
     )
     out_spec = (q_spec, q_spec) if dp_axis else (P(), P())
+
+    # static at trace time: real inline table vs [S,1,1,1] dummy
+    use_inline = arrays.nbr_vectors.shape[-1] == queries.shape[-1]
+    interpret = jax.default_backend() != "tpu"
 
     def local(a: ShardedIndexArrays, q: jax.Array):
         # strip the leading local-shard dim (size 1 per device)
@@ -172,8 +200,10 @@ def sharded_search(
             ef=ef,
             space=space,
             sq_norms=a1.sq_norms if space == "l2" else None,
+            nbr_vectors=a1.nbr_vectors if use_inline else None,
             expand=expand,
             max_iters=max_iters,
+            interpret=interpret,
         )
         # local ids -> global labels before leaving the shard
         lab = jnp.take(a1.labels, jnp.clip(res.ids, 0, a1.labels.shape[0] - 1))
@@ -269,10 +299,18 @@ class ShardedHNSWIndex:
     def search(
         self, queries: np.ndarray, k: int = 10, ef: int = 200, expand: int = 1
     ) -> tuple[np.ndarray, np.ndarray]:
-        q = jnp.asarray(self.space.preprocess(queries))
+        q_np = self.space.preprocess(queries)
+        b0 = q_np.shape[0]
+        # pad so each dp-local batch is a multiple of the hop-kernel tile
+        unit = 16 * (self.mesh.shape[self.dp_axis] if self.dp_axis else 1)
+        b_pad = ((b0 + unit - 1) // unit) * unit
+        if b_pad != b0:
+            q_np = np.concatenate(
+                [q_np, np.zeros((b_pad - b0, self.dim), np.float32)]
+            )
         d, l = sharded_search(
             self.arrays,
-            q,
+            jnp.asarray(q_np),
             k=k,
             ef=max(ef, k),
             space=self.space.name,
@@ -281,4 +319,4 @@ class ShardedHNSWIndex:
             dp_axis=self.dp_axis,
             shard_axis=self.shard_axis,
         )
-        return np.asarray(d), np.asarray(l)
+        return np.asarray(d)[:b0], np.asarray(l)[:b0]
