@@ -70,10 +70,15 @@ class HNSWGraph:
         return row[row >= 0]
 
 
-def check_integrity(g: HNSWGraph) -> None:
+def check_integrity(g: HNSWGraph, require_inbound: bool = True) -> None:
     """Graph invariants, mirroring hnswlib/hnswalg.h:1381-1410: every link
     in range, no self-loops, no duplicate links per list, and every node
-    reachable by at least one inbound level-0 edge (when N > 1)."""
+    reachable by at least one inbound level-0 edge (when N > 1).
+
+    `require_inbound=False` skips the inbound check: the neighbor-selection
+    heuristic inherently orphans ~0.5% of nodes' in-degree at N>=50k (true
+    of the reference algorithm as well — its checkIntegrity would fail the
+    same way, and nothing in the reference ever calls it, SURVEY.md §4)."""
     n = g.num_nodes
     if n == 0:
         return
@@ -100,7 +105,7 @@ def check_integrity(g: HNSWGraph) -> None:
                 )
             if level == 0:
                 inbound[nbrs] += 1
-    if n > 1:
+    if n > 1 and require_inbound:
         assert np.all(inbound > 0), (
             f"{int(np.sum(inbound == 0))} nodes with no inbound level-0 edges"
         )

@@ -72,7 +72,9 @@ def load_builder_lib() -> ctypes.CDLL:
     lib.hnsw_create.argtypes = [c.c_int, c.c_int, c.c_int, c.c_int, c.c_uint64]
     lib.hnsw_free.argtypes = [c.c_void_p]
     lib.hnsw_add.argtypes = [c.c_void_p, P(c.c_float), c.c_int64]
-    lib.hnsw_add_batch.argtypes = [c.c_void_p, P(c.c_float), P(c.c_int64), c.c_int64]
+    lib.hnsw_add_batch.argtypes = [
+        c.c_void_p, P(c.c_float), P(c.c_int64), c.c_int64, c.c_int,
+    ]
     lib.hnsw_mark_deleted.argtypes = [c.c_void_p, c.c_int64]
     lib.hnsw_mark_deleted.restype = c.c_int
     lib.hnsw_unmark_deleted.argtypes = [c.c_void_p, c.c_int64]

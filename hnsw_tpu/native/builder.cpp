@@ -152,7 +152,15 @@ struct HnswBuilder {
   size_t num_deleted = 0;
 
   mutable VisitedSet visited;
-  mutable std::mutex big_lock;  // coarse lock: builder mutations serialize
+  mutable std::mutex big_lock;  // structural mutations (append, maps)
+  // Striped per-node link locks for concurrent inserts (role of the
+  // reference's per-node link_list_locks_, hnswalg.h:43; striping avoids
+  // growing a mutex array under concurrency).
+  static constexpr size_t kStripes = 65536;
+  mutable std::vector<std::mutex> link_locks{kStripes};
+  std::mutex entry_lock;  // entry_point/max_level (hnswalg.h:42)
+
+  std::mutex& lock_of(uint32_t id) const { return link_locks[id & (kStripes - 1)]; }
 
   HnswBuilder(int dim_, int space_, int M_, int efc, uint64_t seed)
       : dim(dim_),
@@ -193,15 +201,27 @@ struct HnswBuilder {
   }
 
   // Greedy 1-best descent on one upper level (hnswalg.h:1213-1239 /
-  // 1278-1303 semantics).
-  uint32_t greedy_level(const float* q, uint32_t ep, int level, float* ep_dist) const {
+  // 1278-1303 semantics). `locked` copies each list under its node's
+  // stripe lock (concurrent-build path, cf. hnswalg.h:255).
+  uint32_t greedy_level(const float* q, uint32_t ep, int level, float* ep_dist,
+                        bool locked = false) const {
     uint32_t cur = ep;
     float cur_d = *ep_dist;
     bool changed = true;
+    int32_t local[64];
     while (changed) {
       changed = false;
       int cnt;
-      const int32_t* nb = neighbors(cur, level, &cnt);
+      const int32_t* nb;
+      if (locked) {
+        std::lock_guard<std::mutex> g(lock_of(cur));
+        const int32_t* src = neighbors(cur, level, &cnt);
+        cnt = std::min(cnt, 64);
+        std::memcpy(local, src, cnt * sizeof(int32_t));
+        nb = local;
+      } else {
+        nb = neighbors(cur, level, &cnt);
+      }
       for (int j = 0; j < cnt; ++j) {
         uint32_t cand = uint32_t(nb[j]);
         float d = dist(q, vec(cand));
@@ -219,7 +239,9 @@ struct HnswBuilder {
   // ef-bounded beam search on one level (semantics of searchBaseLayer,
   // hnswalg.h:226-305). Returns a max-heap of up to `ef` (dist, id).
   MaxHeap search_layer(const float* q, uint32_t ep, int level, int ef,
-                       bool skip_deleted_results = false) const {
+                       bool skip_deleted_results = false, bool locked = false,
+                       VisitedSet* vis = nullptr) const {
+    VisitedSet& visited = vis ? *vis : this->visited;
     visited.ensure(n);
     visited.reset();
     MaxHeap results;
@@ -236,12 +258,22 @@ struct HnswBuilder {
       lower_bound = std::numeric_limits<float>::max();
     }
 
+    int32_t local[64];
     while (!candidates.empty()) {
       Cand c = candidates.top();
       if (c.dist > lower_bound && results.size() >= size_t(ef)) break;
       candidates.pop();
       int cnt;
-      const int32_t* nb = neighbors(c.id, level, &cnt);
+      const int32_t* nb;
+      if (locked) {
+        std::lock_guard<std::mutex> g(lock_of(c.id));
+        const int32_t* src = neighbors(c.id, level, &cnt);
+        cnt = std::min(cnt, 64);
+        std::memcpy(local, src, cnt * sizeof(int32_t));
+        nb = local;
+      } else {
+        nb = neighbors(c.id, level, &cnt);
+      }
       for (int j = 0; j < cnt; ++j) {
         uint32_t cand = uint32_t(nb[j]);
         if (visited.test_and_set(cand)) continue;
@@ -287,25 +319,32 @@ struct HnswBuilder {
   // Connect `id` to selected neighbors at `level`; add reverse links with
   // overflow re-prune (mutuallyConnectNewElement, hnswalg.h:506-630).
   // Returns the closest selected neighbor (next entry point).
-  uint32_t connect(uint32_t id, std::vector<Cand>& cands, int level) {
+  uint32_t connect(uint32_t id, std::vector<Cand>& cands, int level,
+                   bool locked = false) {
     int m_cap = level == 0 ? maxM0 : M;
     select_neighbors(cands, M);  // forward selection capped at M (hnswalg.h:513)
     uint32_t closest = cands.empty() ? id : cands.front().id;
     float best = std::numeric_limits<float>::max();
 
-    int32_t* cntp;
-    int32_t* my = mutable_neighbors(id, level, &cntp);
-    *cntp = 0;
-    for (const Cand& c : cands) {
-      my[(*cntp)++] = int32_t(c.id);
-      if (c.dist < best) {
-        best = c.dist;
-        closest = c.id;
+    {
+      std::unique_lock<std::mutex> g(lock_of(id), std::defer_lock);
+      if (locked) g.lock();
+      int32_t* cntp;
+      int32_t* my = mutable_neighbors(id, level, &cntp);
+      *cntp = 0;
+      for (const Cand& c : cands) {
+        my[(*cntp)++] = int32_t(c.id);
+        if (c.dist < best) {
+          best = c.dist;
+          closest = c.id;
+        }
       }
+      for (int j = *cntp; j < m_cap; ++j) my[j] = -1;
     }
-    for (int j = *cntp; j < m_cap; ++j) my[j] = -1;
 
     for (const Cand& c : cands) {
+      std::unique_lock<std::mutex> g(lock_of(c.id), std::defer_lock);
+      if (locked) g.lock();
       int32_t* ocntp;
       int32_t* other = mutable_neighbors(c.id, level, &ocntp);
       // the link may already exist (update/repair path re-links a live node)
@@ -366,24 +405,111 @@ struct HnswBuilder {
       max_level = level;
       return;
     }
+    link_node(id, level, /*locked=*/false, nullptr);
+  }
 
-    uint32_t ep = uint32_t(entry_point);
+  // Descend + search + mutually connect a pre-registered node. With
+  // locked=true this is safe to run concurrently across nodes (the parallel
+  // bulk-build path; reference semantics of concurrent addPoint,
+  // hnswalg.h:954-1267 with per-node link locks).
+  void link_node(uint32_t id, int level, bool locked, VisitedSet* vis) {
+    const float* v = vec(id);
+    int ml;
+    uint32_t ep;
+    if (locked) {
+      std::lock_guard<std::mutex> g(entry_lock);
+      ml = max_level;
+      ep = uint32_t(entry_point);
+    } else {
+      ml = max_level;
+      ep = uint32_t(entry_point);
+    }
     float ep_d = dist(v, vec(ep));
-    for (int l = max_level; l > level; --l) ep = greedy_level(v, ep, l, &ep_d);
+    for (int l = ml; l > level; --l) ep = greedy_level(v, ep, l, &ep_d, locked);
 
-    for (int l = std::min(level, max_level); l >= 0; --l) {
-      MaxHeap top = search_layer(v, ep, l, ef_construction);
+    for (int l = std::min(level, ml); l >= 0; --l) {
+      MaxHeap top = search_layer(v, ep, l, ef_construction, false, locked, vis);
       std::vector<Cand> cands;
       cands.reserve(top.size());
       while (!top.empty()) {
         cands.push_back(top.top());
         top.pop();
       }
-      ep = connect(id, cands, l);
+      ep = connect(id, cands, l, locked);
     }
-    if (level > max_level) {
-      max_level = level;
-      entry_point = int32_t(id);
+    if (level > ml) {
+      std::lock_guard<std::mutex> g(entry_lock);
+      if (level > max_level) {
+        max_level = level;
+        entry_point = int32_t(id);
+      }
+    }
+  }
+
+  // Parallel bulk insert: phase 1 registers all new nodes serially
+  // (storage append, level assignment — keeps levels deterministic),
+  // phase 2 links them across threads with striped per-node locks,
+  // phase 3 applies updates of pre-existing labels serially.
+  void insert_batch(const float* vecs, const int64_t* batch_labels,
+                    size_t count, int n_threads) {
+    std::vector<uint32_t> fresh;
+    std::vector<size_t> updates;
+    {
+      std::lock_guard<std::mutex> g(big_lock);
+      fresh.reserve(count);
+      for (size_t i = 0; i < count; ++i) {
+        int64_t label = batch_labels[i];
+        if (label_to_id.count(label)) {
+          updates.push_back(i);
+          continue;
+        }
+        uint32_t id = uint32_t(n);
+        ++n;
+        const float* v = vecs + i * size_t(dim);
+        data.insert(data.end(), v, v + dim);
+        labels.push_back(label);
+        deleted.push_back(0);
+        cnt0.push_back(0);
+        links0.resize(n * size_t(maxM0), -1);
+        int level = random_level();
+        node_level.push_back(level);
+        links_upper.emplace_back(size_t(level) * M, -1);
+        cnt_upper.emplace_back(size_t(level), 0);
+        label_to_id.emplace(label, id);
+        if (entry_point < 0) {
+          entry_point = int32_t(id);
+          max_level = level;
+          continue;
+        }
+        fresh.push_back(id);
+      }
+    }
+    if (n_threads <= 0) {
+      n_threads = int(std::thread::hardware_concurrency());
+      if (n_threads <= 0) n_threads = 1;
+    }
+    n_threads = std::min<size_t>(n_threads, std::max<size_t>(fresh.size(), 1));
+    if (n_threads <= 1 || fresh.size() < 64) {
+      VisitedSet vis;
+      for (uint32_t id : fresh) link_node(id, node_level[id], false, &vis);
+    } else {
+      std::atomic<size_t> next{0};
+      std::vector<std::thread> pool;
+      for (int t = 0; t < n_threads; ++t) {
+        pool.emplace_back([&] {
+          VisitedSet vis;
+          while (true) {
+            size_t i = next.fetch_add(1);
+            if (i >= fresh.size()) break;
+            link_node(fresh[i], node_level[fresh[i]], true, &vis);
+          }
+        });
+      }
+      for (auto& th : pool) th.join();
+    }
+    for (size_t i : updates) {
+      std::lock_guard<std::mutex> g(big_lock);
+      update(label_to_id[batch_labels[i]], vecs + i * size_t(dim));
     }
   }
 
@@ -476,8 +602,8 @@ void hnsw_add(HnswBuilder* b, const float* vec, int64_t label) {
 }
 
 void hnsw_add_batch(HnswBuilder* b, const float* vecs, const int64_t* labels,
-                    int64_t count) {
-  for (int64_t i = 0; i < count; ++i) b->insert(vecs + size_t(i) * b->dim, labels[i]);
+                    int64_t count, int n_threads) {
+  b->insert_batch(vecs, labels, size_t(count), n_threads);
 }
 
 int hnsw_mark_deleted(HnswBuilder* b, int64_t label) {

@@ -116,11 +116,18 @@ class NativeHNSWBuilder:
         v = np.ascontiguousarray(vec, dtype=np.float32).reshape(self.dim)
         self.lib.hnsw_add(self._h, _ptr(v, _F32P), label)
 
-    def add_batch(self, vecs: np.ndarray, labels: np.ndarray) -> None:
+    def add_batch(
+        self, vecs: np.ndarray, labels: np.ndarray, n_threads: int = 0
+    ) -> None:
+        """Bulk insert; n_threads=0 uses all host cores (concurrent inserts
+        with per-node link locks, reference semantics hnswalg.h:43,255),
+        n_threads=1 forces the serial deterministic path."""
         v = np.ascontiguousarray(vecs, dtype=np.float32).reshape(-1, self.dim)
         l = np.ascontiguousarray(labels, dtype=np.int64).reshape(-1)
         assert v.shape[0] == l.shape[0]
-        self.lib.hnsw_add_batch(self._h, _ptr(v, _F32P), _ptr(l, _I64P), v.shape[0])
+        self.lib.hnsw_add_batch(
+            self._h, _ptr(v, _F32P), _ptr(l, _I64P), v.shape[0], n_threads
+        )
 
     def mark_deleted(self, label: int) -> None:
         if self.lib.hnsw_mark_deleted(self._h, label) != 0:

@@ -105,26 +105,17 @@ def _hop_dist_kernel(
     pltpu.make_async_copy(l0t_ref.at[0], idt.at[buf], id_sems.at[buf]).wait()
     ids_out_ref[:] = idt[buf].reshape(tb, e, 8, 128)
 
-    # Distances via one MXU tile: [tb*em, d] x [tb, d]^T, then pick each
-    # row's own query column with a one-hot reduce (gathers are slow; a
-    # factor-tb of wasted MXU flops is free).
-    r = rows[buf].reshape(tb * em, d)
-    qb = q_ref[:].astype(r.dtype)
-    qx = jax.lax.dot_general(
-        r, qb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [tb*em, tb]
+    # Distances on the VPU: elementwise (r - q)^2 lane-reduced. An MXU
+    # formulation ([tb*em, d] x [tb, d]^T + one-hot diagonal pick) was 3x
+    # slower end-to-end — it does a factor-tb of wasted flops, and at this
+    # arithmetic intensity the kernel is DMA/VPU-bound anyway.
+    r32 = rows[buf].reshape(tb, em, d).astype(jnp.float32)
+    q32 = q_ref[:].astype(jnp.float32)[:, None, :]  # [tb, 1, d]
     if ip:
-        full = (1.0 - qx).reshape(tb, em, tb)
+        out_ref[:] = 1.0 - jnp.sum(r32 * q32, axis=-1)
     else:
-        r32 = r.astype(jnp.float32)
-        x2 = jnp.sum(r32 * r32, axis=1, keepdims=True)  # [tb*em, 1]
-        q32 = q_ref[:].astype(jnp.float32)
-        q2 = jnp.sum(q32 * q32, axis=1)  # [tb]
-        full = (q2[None, :] + x2 - 2.0 * qx).reshape(tb, em, tb)
-    eye = jax.lax.broadcasted_iota(jnp.int32, (tb, 1, tb), 0) == (
-        jax.lax.broadcasted_iota(jnp.int32, (tb, 1, tb), 2)
-    )
-    out_ref[:] = jnp.sum(jnp.where(eye, full, 0.0), axis=2)
+        diff = r32 - q32
+        out_ref[:] = jnp.sum(diff * diff, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("space", "m0", "tb", "interpret"))
