@@ -19,6 +19,7 @@ from hnsw_tpu.core.graph import HNSWGraph, graph_device_arrays
 from hnsw_tpu.core.spaces import Space, L2Space, IPSpace, get_space
 from hnsw_tpu.models.bruteforce import BruteforceIndex
 from hnsw_tpu.models.hnsw import HNSWIndex, SearchParams
+from hnsw_tpu.models.multivector import MultiVectorIndex, epsilon_search
 
 __version__ = "0.1.0"
 
@@ -32,4 +33,6 @@ __all__ = [
     "BruteforceIndex",
     "HNSWIndex",
     "SearchParams",
+    "MultiVectorIndex",
+    "epsilon_search",
 ]

@@ -1,0 +1,208 @@
+"""Device-accelerated bulk index construction.
+
+The reference builds strictly serially: one ef_construction beam search per
+inserted point on the CPU (the build hot loop, index_builder/build.cpp:137-145
+-> hnswalg.h:954-1267). That search is ~95% of build compute. Here it runs on
+the TPU in geometric waves:
+
+  1. Levels are pre-sampled host-side (same geometric distribution as
+     hnswalg.h:207-211). The ~1/M of nodes with level >= 1 are inserted by
+     the native host engine (they form the upper hierarchy + seed graph).
+  2. The remaining level-0-only nodes are registered unlinked, then linked
+     in geometrically growing waves. Per wave:
+       a. batched beam search over the current graph snapshot on device
+          (search_batch, ef_construction beam) -> candidate lists,
+       b. the neighbor-selection heuristic (getNeighborsByHeuristic2
+          semantics, hnswalg.h:443-483) vectorized on device: a masked scan
+          over candidates with an MXU-computed candidate-candidate distance
+          block,
+       c. link application (forward + reverse links with overflow re-prune)
+          through the native engine (hnsw_connect_batch).
+
+  Nodes within one wave don't see each other as candidates (they search the
+  pre-wave snapshot) — the standard staleness tradeoff of batched ANN
+  builders; geometric wave growth keeps early (structure-defining) edges
+  near-incremental quality.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnsw_tpu.core.graph import graph_device_arrays, pad_vectors, round_up
+from hnsw_tpu.core.spaces import Space, get_space
+from hnsw_tpu.ops.distance import gather_dist
+from hnsw_tpu.ops.traversal import search_batch
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("m", "space"))
+def select_neighbors_device(
+    vectors: Array,  # [N_pad, D]
+    cand_ids: Array,  # [W, C] ascending by distance (sentinel >= num_nodes)
+    cand_d: Array,  # [W, C] distance to the new node (inf = invalid)
+    num_nodes: Array,
+    m: int,
+    space: str = "l2",
+) -> Array:
+    """Vectorized getNeighborsByHeuristic2 (hnswalg.h:443-483): scan
+    candidates closest-first, keep one iff it is closer to the new node than
+    to every already-kept candidate; stop at m. Returns kept ids [W, m]
+    (-1 padded)."""
+    w, c = cand_ids.shape
+    safe = jnp.where(cand_ids < num_nodes, cand_ids, 0)
+    rows = jnp.take(vectors, safe, axis=0)  # [W, C, D]
+    # candidate-candidate distances via one batched MXU block
+    g = jax.lax.dot_general(
+        rows, rows, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [W, C, C] gram
+    if space == "l2":
+        sq = jnp.sum(rows.astype(jnp.float32) ** 2, axis=-1)  # [W, C]
+        pair = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * g, 0.0)
+    else:
+        pair = 1.0 - g
+    valid = (cand_ids < num_nodes) & jnp.isfinite(cand_d)
+
+    def body(j, state):
+        keep, count = state  # [W, C] bool, [W]
+        # min distance from candidate j to already-kept candidates
+        dj = jnp.where(keep, pair[:, j, :], jnp.inf)  # [W, C]
+        min_kept = jnp.min(dj, axis=-1)  # [W]
+        ok = valid[:, j] & (count < m) & (min_kept > cand_d[:, j])
+        keep = keep.at[:, j].set(ok)
+        return keep, count + ok.astype(jnp.int32)
+
+    keep, _ = jax.lax.fori_loop(
+        0, c, body, (jnp.zeros((w, c), bool), jnp.zeros((w,), jnp.int32))
+    )
+    # compact kept ids into [W, m] by sorting (kept first, by distance)
+    key = jnp.where(keep, cand_d, jnp.inf)
+    _, order = jax.lax.sort(
+        (key, jnp.where(keep, cand_ids, -1)), dimension=-1, num_keys=1
+    )
+    return order[:, :m]
+
+
+def bulk_build(
+    data: np.ndarray,
+    labels: np.ndarray | None = None,
+    space: Space | str = "l2",
+    m: int = 16,
+    ef_construction: int = 200,
+    seed: int = 123,
+    first_wave: int = 4096,
+    select_c: int = 64,
+    verbose: bool = False,
+):
+    """Build an HNSWIndex with device-accelerated construction.
+
+    Returns the HNSWIndex (host engine fully populated: incremental
+    insert/update/delete and persistence all work afterwards).
+    """
+    from hnsw_tpu.models.hnsw import HNSWIndex
+
+    if isinstance(space, str):
+        space = get_space(space, data.shape[1])
+    data = space.preprocess(data)
+    n = data.shape[0]
+    if labels is None:
+        labels = np.arange(n, dtype=np.int64)
+    labels = np.asarray(labels, dtype=np.int64)
+
+    idx = HNSWIndex(space, m=m, ef_construction=ef_construction, seed=seed)
+    b = idx._builder
+    rng = np.random.default_rng(seed)
+
+    # 1) pre-sample levels (hnswalg.h:207-211 distribution)
+    mult = 1.0 / math.log(m)
+    levels = np.floor(-np.log(rng.uniform(size=n)) * mult).astype(np.int32)
+    hi = np.where(levels >= 1)[0]
+    lo = np.where(levels == 0)[0]
+    if verbose:
+        print(f"bulk_build: {len(hi)} upper nodes (host), {len(lo)} level-0 (device)")
+
+    # host-insert the hierarchy seed (upper-level nodes, ~N/M of the data)
+    t0 = time.time()
+    for i in hi:
+        b.add_with_level(data[i], int(labels[i]), int(levels[i]))
+    if verbose:
+        print(f"  upper phase: {time.time() - t0:.1f}s")
+
+    # 2) register level-0 nodes unlinked (so ALL vectors exist now: the
+    # device vector table uploads once at final padding, and per-wave only
+    # the 13MB/100k-node adjacency moves — not the 800MB inline table,
+    # which rebuilds on device)
+    first_id = b.register_level0_batch(data[lo], labels[lo])
+    ids_lo = np.arange(first_id, first_id + len(lo), dtype=np.uint32)
+
+    n_pad = round_up(n + 1, 128)
+    x = jnp.asarray(pad_vectors(b.export_vectors(), n_pad))
+    sq = jnp.sum(x * x, axis=-1) if space.name == "l2" else None
+
+    # 3) wave linking: first_wave, then fixed-size waves (static shapes ->
+    # the search/select programs compile once)
+    interpret = jax.default_backend() != "tpu"
+    wave_size = max(first_wave * 4, 1024)
+    k_sel = min(select_c, ef_construction)
+
+    def wave_link(rows, ids):
+        cnt = len(rows)
+        g = b.export_graph()
+        dg = graph_device_arrays(g, n_pad)
+        if not interpret:
+            from hnsw_tpu.ops.pallas_gather import (
+                make_inline_neighbors,
+                make_level0_tiles,
+            )
+
+            nbr_vec = make_inline_neighbors(x, dg.level0)
+            l0t = jax.jit(make_level0_tiles)(dg.level0)
+        else:
+            nbr_vec = l0t = None
+        t0 = time.time()
+        q_np = data[rows]
+        b_pad = ((cnt + 15) // 16) * 16
+        if b_pad != cnt:
+            q_np = np.concatenate(
+                [q_np, np.zeros((b_pad - cnt, data.shape[1]), np.float32)]
+            )
+        res = search_batch(
+            x,
+            dg,
+            jnp.asarray(q_np),
+            k=k_sel,
+            ef=ef_construction,
+            space=space.name,
+            sq_norms=sq,
+            nbr_vectors=nbr_vec,
+            level0_tiles=l0t,
+            expand=2,
+            interpret=interpret,
+        )
+        sel = select_neighbors_device(
+            x, res.ids[:cnt], res.dists[:cnt], dg.num_nodes, m, space.name
+        )
+        sel_np = np.asarray(jax.device_get(sel))
+        t_dev = time.time() - t0
+        t0 = time.time()
+        b.connect_batch(ids, sel_np)
+        if verbose:
+            print(f"  wave {cnt}: device {t_dev:.1f}s link {time.time() - t0:.1f}s")
+
+    pos = 0
+    wave = first_wave
+    while pos < len(lo):
+        cnt = min(wave, len(lo) - pos)
+        wave_link(lo[pos : pos + cnt], ids_lo[pos : pos + cnt])
+        pos += cnt
+        wave = min(wave * 2, wave_size)
+
+    idx._dirty = True
+    return idx

@@ -75,6 +75,14 @@ def load_builder_lib() -> ctypes.CDLL:
     lib.hnsw_add_batch.argtypes = [
         c.c_void_p, P(c.c_float), P(c.c_int64), c.c_int64, c.c_int,
     ]
+    lib.hnsw_add_with_level.argtypes = [c.c_void_p, P(c.c_float), c.c_int64, c.c_int]
+    lib.hnsw_register_level0_batch.restype = c.c_int64
+    lib.hnsw_register_level0_batch.argtypes = [
+        c.c_void_p, P(c.c_float), P(c.c_int64), c.c_int64,
+    ]
+    lib.hnsw_connect_batch.argtypes = [
+        c.c_void_p, P(c.c_uint32), c.c_int64, P(c.c_int32), c.c_int,
+    ]
     lib.hnsw_mark_deleted.argtypes = [c.c_void_p, c.c_int64]
     lib.hnsw_mark_deleted.restype = c.c_int
     lib.hnsw_unmark_deleted.argtypes = [c.c_void_p, c.c_int64]

@@ -606,6 +606,84 @@ void hnsw_add_batch(HnswBuilder* b, const float* vecs, const int64_t* labels,
   b->insert_batch(vecs, labels, size_t(count), n_threads);
 }
 
+// --- bulk-build support (device-accelerated construction path) -------------
+
+// Insert with a forced level (bulk build pre-samples levels host-side so the
+// level-0-only population can be wave-linked separately).
+void hnsw_add_with_level(HnswBuilder* b, const float* vec, int64_t label,
+                         int level) {
+  std::lock_guard<std::mutex> g(b->big_lock);
+  auto it = b->label_to_id.find(label);
+  if (it != b->label_to_id.end()) {
+    b->update(it->second, vec);
+    return;
+  }
+  uint32_t id = uint32_t(b->n);
+  ++b->n;
+  b->data.insert(b->data.end(), vec, vec + b->dim);
+  b->labels.push_back(label);
+  b->deleted.push_back(0);
+  b->cnt0.push_back(0);
+  b->links0.resize(b->n * size_t(b->maxM0), -1);
+  b->node_level.push_back(level);
+  b->links_upper.emplace_back(size_t(level) * b->M, -1);
+  b->cnt_upper.emplace_back(size_t(level), 0);
+  b->label_to_id.emplace(label, id);
+  if (b->entry_point < 0) {
+    b->entry_point = int32_t(id);
+    b->max_level = level;
+    return;
+  }
+  b->link_node(id, level, false, nullptr);
+}
+
+// Register level-0 nodes WITHOUT linking (they become reachable only after
+// hnsw_connect_batch applies their links). Returns the first assigned id.
+int64_t hnsw_register_level0_batch(HnswBuilder* b, const float* vecs,
+                                   const int64_t* labels, int64_t count) {
+  std::lock_guard<std::mutex> g(b->big_lock);
+  int64_t first = int64_t(b->n);
+  for (int64_t i = 0; i < count; ++i) {
+    uint32_t id = uint32_t(b->n);
+    ++b->n;
+    const float* v = vecs + size_t(i) * b->dim;
+    b->data.insert(b->data.end(), v, v + b->dim);
+    b->labels.push_back(labels[i]);
+    b->deleted.push_back(0);
+    b->cnt0.push_back(0);
+    b->links0.resize(b->n * size_t(b->maxM0), -1);
+    b->node_level.push_back(0);
+    b->links_upper.emplace_back();
+    b->cnt_upper.emplace_back();
+    b->label_to_id.emplace(labels[i], id);
+    if (b->entry_point < 0) {
+      b->entry_point = int32_t(id);
+      b->max_level = 0;
+    }
+  }
+  return first;
+}
+
+// Apply pre-selected level-0 links for a wave of registered nodes: forward
+// links + reverse links with overflow re-prune (mutuallyConnectNewElement
+// semantics, hnswalg.h:506-630). selected: [count, m_sel], -1 padded.
+void hnsw_connect_batch(HnswBuilder* b, const uint32_t* ids, int64_t count,
+                        const int32_t* selected, int m_sel) {
+  for (int64_t i = 0; i < count; ++i) {
+    uint32_t id = ids[i];
+    std::vector<Cand> cands;
+    cands.reserve(m_sel);
+    for (int j = 0; j < m_sel; ++j) {
+      int32_t s = selected[i * m_sel + j];
+      if (s < 0 || uint32_t(s) == id) continue;
+      cands.push_back({b->dist(b->vec(id), b->vec(uint32_t(s))), uint32_t(s)});
+    }
+    std::sort(cands.begin(), cands.end(),
+              [](const Cand& a, const Cand& c) { return a.dist < c.dist; });
+    if (!cands.empty()) b->connect(id, cands, 0);
+  }
+}
+
 int hnsw_mark_deleted(HnswBuilder* b, int64_t label) {
   return b->mark_deleted(label, true) ? 0 : -1;
 }

@@ -129,6 +129,30 @@ class NativeHNSWBuilder:
             self._h, _ptr(v, _F32P), _ptr(l, _I64P), v.shape[0], n_threads
         )
 
+    def add_with_level(self, vec: np.ndarray, label: int, level: int) -> None:
+        v = np.ascontiguousarray(vec, dtype=np.float32).reshape(self.dim)
+        self.lib.hnsw_add_with_level(self._h, _ptr(v, _F32P), label, level)
+
+    def register_level0_batch(self, vecs: np.ndarray, labels: np.ndarray) -> int:
+        """Register nodes at level 0 without linking; returns first id."""
+        v = np.ascontiguousarray(vecs, dtype=np.float32).reshape(-1, self.dim)
+        l = np.ascontiguousarray(labels, dtype=np.int64).reshape(-1)
+        return int(
+            self.lib.hnsw_register_level0_batch(
+                self._h, _ptr(v, _F32P), _ptr(l, _I64P), v.shape[0]
+            )
+        )
+
+    def connect_batch(self, ids: np.ndarray, selected: np.ndarray) -> None:
+        """Apply pre-selected level-0 links (forward + reverse with
+        overflow re-prune) for registered nodes."""
+        ids = np.ascontiguousarray(ids, dtype=np.uint32).reshape(-1)
+        sel = np.ascontiguousarray(selected, dtype=np.int32).reshape(len(ids), -1)
+        self.lib.hnsw_connect_batch(
+            self._h, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            len(ids), _ptr(sel, _I32P), sel.shape[1],
+        )
+
     def mark_deleted(self, label: int) -> None:
         if self.lib.hnsw_mark_deleted(self._h, label) != 0:
             raise KeyError(f"label {label} not in index")

@@ -1,0 +1,53 @@
+"""Device-accelerated bulk build: graph validity and recall parity with the
+incremental host builder."""
+
+import numpy as np
+
+from hnsw_tpu.core.graph import check_integrity
+from hnsw_tpu.core.spaces import L2Space
+from hnsw_tpu.models.bruteforce import BruteforceIndex
+from hnsw_tpu.models.bulk_build import bulk_build
+from hnsw_tpu.models.hnsw import HNSWIndex
+
+N, DIM = 3000, 32
+
+
+def _recall(got, gt):
+    k = gt.shape[1]
+    return np.mean([len(set(got[i]) & set(gt[i])) / k for i in range(len(gt))])
+
+
+def test_bulk_build_recall_parity(rng):
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    oracle = BruteforceIndex(L2Space(DIM))
+    oracle.add_items(x, np.arange(N))
+    q = x[rng.integers(0, N, 64)] + 0.01 * rng.normal(size=(64, DIM)).astype(
+        np.float32
+    )
+    _, gt = oracle.search_knn(q, 10)
+
+    bulk = bulk_build(x, m=16, ef_construction=100, first_wave=512)
+    assert bulk.num_elements == N
+    check_integrity(bulk.graph, require_inbound=False)
+    _, l_bulk = bulk.search(q, k=10, ef=100)
+
+    host = HNSWIndex("l2", dim=DIM, m=16, ef_construction=100)
+    host.add_items(x)
+    _, l_host = host.search(q, k=10, ef=100)
+
+    r_bulk, r_host = _recall(l_bulk, gt), _recall(l_host, gt)
+    assert r_bulk >= r_host - 0.05, (r_bulk, r_host)
+    assert r_bulk >= 0.9, r_bulk
+
+
+def test_bulk_build_supports_incremental_after(rng):
+    x = rng.normal(size=(800, DIM)).astype(np.float32)
+    idx = bulk_build(x, m=8, ef_construction=64, first_wave=256)
+    extra = rng.normal(size=(50, DIM)).astype(np.float32)
+    idx.add_items(extra, labels=np.arange(1000, 1050))
+    assert idx.num_elements == 850
+    d, l = idx.search(extra[:4], k=1, ef=64)
+    assert np.all(l[:, 0] == np.arange(1000, 1004))
+    idx.mark_deleted(1000)
+    d, l = idx.search(extra[:1], k=5, ef=64)
+    assert 1000 not in l[0]
