@@ -25,7 +25,7 @@ EF_C = 200
 K = 10
 EF = 200
 EXPAND = 2
-BATCH = int(os.environ.get("BENCH_BATCH", 2048))
+BATCH = int(os.environ.get("BENCH_BATCH", 4096))
 N_QUERY_BATCHES = 8
 CPU_BASELINE_QUERIES = 512
 
