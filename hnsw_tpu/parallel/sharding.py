@@ -310,6 +310,63 @@ class ShardedHNSWIndex:
         assert self._arrays is not None, "call build() first"
         return self._arrays
 
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path_prefix: str) -> None:
+        """Write one native checkpoint per shard: {prefix}.shard{i}.npz +
+        {prefix}.meta.json."""
+        import json
+
+        assert self._builders is not None, "nothing built"
+        for i, b in enumerate(self._builders):
+            from hnsw_tpu.io.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                f"{path_prefix}.shard{i}.npz",
+                b.export_graph(),
+                b.export_vectors(),
+                b.export_deleted(),
+                meta={"space": self.space.name, "dim": self.dim, "m": self.m},
+            )
+        with open(f"{path_prefix}.meta.json", "w") as f:
+            json.dump(
+                {
+                    "num_shards": self.num_shards,
+                    "space": self.space.name,
+                    "dim": self.dim,
+                    "m": self.m,
+                    "ef_construction": self.ef_construction,
+                },
+                f,
+            )
+
+    def load(self, path_prefix: str) -> None:
+        """Restore builders + device arrays from a save()d checkpoint set
+        (shard count must match this index's mesh)."""
+        import json
+
+        from hnsw_tpu.io.checkpoint import load_checkpoint
+        from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
+
+        with open(f"{path_prefix}.meta.json") as f:
+            meta = json.load(f)
+        assert meta["num_shards"] == self.num_shards, (
+            f"checkpoint has {meta['num_shards']} shards, mesh has {self.num_shards}"
+        )
+        self._builders = []
+        shards = []
+        for i in range(self.num_shards):
+            g, vectors, deleted, _ = load_checkpoint(f"{path_prefix}.shard{i}.npz")
+            b = NativeHNSWBuilder.from_graph(
+                g, vectors, deleted, space=meta["space"],
+                ef_construction=meta["ef_construction"],
+            )
+            self._builders.append(b)
+            shards.append((g, vectors))
+        self._arrays = build_sharded_arrays(
+            shards, self.space, self.mesh, self.shard_axis
+        )
+
     def search(
         self, queries: np.ndarray, k: int = 10, ef: int = 200, expand: int = 1
     ) -> tuple[np.ndarray, np.ndarray]:

@@ -82,3 +82,19 @@ def test_sharded_matches_single(data):
     idx.build(x)
     _, l8 = idx.search(q, k=10, ef=64)
     assert _recall(l8, gt) >= _recall(l1, gt) - 0.02
+
+
+def test_sharded_save_load(tmp_path, data):
+    x, q, gt = data
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    idx = ShardedHNSWIndex("l2", DIM, mesh=mesh, m=8, ef_construction=100)
+    idx.build(x)
+    d1, l1 = idx.search(q, k=10, ef=64)
+    prefix = str(tmp_path / "sharded")
+    idx.save(prefix)
+
+    idx2 = ShardedHNSWIndex("l2", DIM, mesh=mesh, m=8, ef_construction=100)
+    idx2.load(prefix)
+    d2, l2 = idx2.search(q, k=10, ef=64)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
