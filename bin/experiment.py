@@ -75,15 +75,11 @@ def fetch_all_vectors_numpy(storage, dim):
     with urllib.request.urlopen(f"{storage}/vec/bulk?dim={dim}", timeout=300) as r:
         raw = r.read()
     count, d = struct.unpack_from("<II", raw)
-    rec = 4 + d * 4
-    ids = np.empty(count, dtype=np.int64)
-    vecs = np.empty((count, d), dtype=np.float32)
-    for i in range(count):
-        off = 8 + i * rec
-        (ids[i],) = struct.unpack_from("<I", raw, off)
-        vecs[i] = np.frombuffer(raw, dtype="<f4", offset=off + 4, count=d)
-    order = np.argsort(ids)
-    return ids[order], vecs[order]
+    rec = np.frombuffer(
+        raw, dtype=[("id", "<u4"), ("vec", "<f4", (d,))], offset=8, count=count
+    )
+    order = np.argsort(rec["id"])
+    return rec["id"][order].astype(np.int64), np.ascontiguousarray(rec["vec"][order])
 
 
 def get_ground_truth_numpy(data, query, k, exclude=None):

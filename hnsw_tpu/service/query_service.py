@@ -185,18 +185,14 @@ def _fetch_bulk_vectors(storage: str, dim: int):
     """One bulk transfer from the storage service → (ids, vecs)."""
     import struct
 
-    with urllib.request.urlopen(f"{storage}/vec/bulk?dim={dim}", timeout=120) as r:
+    with urllib.request.urlopen(f"{storage}/vec/bulk?dim={dim}", timeout=300) as r:
         raw = r.read()
     count, d = struct.unpack_from("<II", raw)
     assert d == dim
-    rec = 4 + dim * 4
-    ids = np.empty(count, dtype=np.int64)
-    vecs = np.empty((count, dim), dtype=np.float32)
-    for i in range(count):
-        off = 8 + i * rec
-        (ids[i],) = struct.unpack_from("<I", raw, off)
-        vecs[i] = np.frombuffer(raw, dtype="<f4", offset=off + 4, count=dim)
-    return ids, vecs
+    rec = np.frombuffer(
+        raw, dtype=[("id", "<u4"), ("vec", "<f4", (dim,))], offset=8, count=count
+    )
+    return rec["id"].astype(np.int64), np.ascontiguousarray(rec["vec"])
 
 
 def build_engine(
@@ -218,11 +214,11 @@ def build_engine(
     adj_path = graph_file if graph_file.endswith(".adj") else graph_file + ".adj"
     g = read_adj(adj_path)
     ids, vecs = _fetch_bulk_vectors(storage, dim)
-    # map storage ids (= labels) onto graph internal order
-    order = np.empty(g.num_nodes, dtype=np.int64)
-    id_to_row = {int(v): i for i, v in enumerate(ids)}
-    for internal in range(g.num_nodes):
-        order[internal] = id_to_row[int(g.labels[internal])]
+    # map storage ids (= labels) onto graph internal order (vectorized)
+    sort_idx = np.argsort(ids)
+    pos = np.searchsorted(ids, g.labels, sorter=sort_idx)
+    order = sort_idx[pos]
+    assert np.array_equal(ids[order], g.labels), "storage/graph label mismatch"
     vectors = vecs[order]
     return _Engine(vectors, g, "l2", ef, k, "optimized", storage)
 

@@ -71,12 +71,14 @@ class StorageHandler(BaseHTTPRequestHandler):
             ids = self.store.ids()
             vecs, found = self.store.batch_get(ids, dim)
             ids, vecs = ids[found], vecs[found]
-            payload = struct.pack("<II", len(ids), dim)
-            body = bytearray(payload)
-            for i in range(len(ids)):
-                body += struct.pack("<I", int(ids[i]))
-                body += vecs[i].tobytes()
-            self._send(200, bytes(body), "application/octet-stream")
+            # vectorized framing: one structured array, no per-record loop
+            rec = np.zeros(
+                len(ids), dtype=[("id", "<u4"), ("vec", "<f4", (dim,))]
+            )
+            rec["id"] = ids
+            rec["vec"] = vecs
+            body = struct.pack("<II", len(ids), dim) + rec.tobytes()
+            self._send(200, body, "application/octet-stream")
         elif url.path == "/mem":
             self._json(200, {"rss_kb": current_rss_kb()})
         elif url.path == "/info":
