@@ -85,10 +85,19 @@ def main():
         )
         return res.dists, res.ids
 
-    # compile + warm
+    # compile + warm (the remote compile service flakes with transient
+    # HTTP 500s on fresh shapes — retry a few times)
     t0 = time.time()
-    d, ids = run(qd)
-    d.block_until_ready()
+    for attempt in range(4):
+        try:
+            d, ids = run(qd)
+            d.block_until_ready()
+            break
+        except Exception as exc:
+            if "remote_compile" not in str(exc) or attempt == 3:
+                raise
+            log(f"transient compile failure (attempt {attempt + 1}), retrying")
+            time.sleep(5)
     log(f"compile+first: {time.time()-t0:.1f}s")
 
     got = labels_np[np.minimum(np.asarray(ids), len(labels_np) - 1)]
