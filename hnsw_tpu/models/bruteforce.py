@@ -40,11 +40,38 @@ class BruteforceIndex:
     # -- mutation ----------------------------------------------------------
 
     def add_items(self, data: np.ndarray, labels: np.ndarray) -> None:
+        """Bulk insert: one array assignment for all-new labels (the common
+        case; reference bruteforce.h:64-85 is an O(1) memcpy per point, so the
+        bulk path must not be slower), per-row fallback only when the batch
+        contains overwrites or duplicate labels."""
         data = self.space.preprocess(data)
         labels = np.asarray(labels, dtype=np.int64).reshape(-1)
         assert data.shape[0] == labels.shape[0]
-        for row, lab in zip(data, labels):
-            self.add_point(row, int(lab))
+        n_new = labels.shape[0]
+        if n_new == 0:
+            return
+        lab_list = labels.tolist()
+        all_new = len(set(lab_list)) == n_new and not any(
+            l in self._label_to_idx for l in lab_list
+        )
+        if not all_new:
+            for row, lab in zip(data, labels):
+                self.add_point(row, int(lab))
+            return
+        need = self._n + n_new
+        if need > self._data.shape[0]:
+            cap = max(need, 2 * self._data.shape[0])
+            grown = np.zeros((cap, self.dim), np.float32)
+            grown[: self._n] = self._data[: self._n]
+            self._data = grown
+            glab = np.zeros(cap, np.int64)
+            glab[: self._n] = self._labels[: self._n]
+            self._labels = glab
+        self._data[self._n : need] = data
+        self._labels[self._n : need] = labels
+        self._label_to_idx.update(zip(lab_list, range(self._n, need)))
+        self._n = need
+        self._device_cache = None
 
     def add_point(self, vec: np.ndarray, label: int) -> None:
         """Insert or overwrite by label (reference: bruteforce.h:64-85)."""

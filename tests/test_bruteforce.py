@@ -82,3 +82,26 @@ def test_save_load(tmp_path, rng):
     d2, l2 = idx2.search_knn(q, 5)
     np.testing.assert_allclose(d1, d2, rtol=1e-6)
     np.testing.assert_array_equal(l1, l2)
+
+
+def test_bulk_add_matches_sequential(rng):
+    """Vectorized add_items (all-new fast path) must equal per-point inserts,
+    including batches with duplicate labels and overwrites (fallback path)."""
+    x = rng.normal(size=(300, 16)).astype(np.float32)
+    labs = np.arange(300)
+    bulk = BruteforceIndex(L2Space(16))
+    bulk.add_items(x, labs)
+    seq = BruteforceIndex(L2Space(16))
+    for row, lab in zip(x, labs):
+        seq.add_point(row, int(lab))
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    d1, l1 = bulk.search_knn(q, 7)
+    d2, l2 = seq.search_knn(q, 7)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    np.testing.assert_array_equal(l1, l2)
+    # overwrite + intra-batch duplicate → fallback path, last write wins
+    y = rng.normal(size=(3, 16)).astype(np.float32)
+    bulk.add_items(y, np.array([5, 999, 999]))
+    assert bulk.num_elements == 301
+    d, l = bulk.search_knn(y[2:3], 1)
+    assert l[0, 0] == 999 and d[0, 0] < 1e-5
