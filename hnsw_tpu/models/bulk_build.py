@@ -75,7 +75,10 @@ def select_neighbors_device(
         # min distance from candidate j to already-kept candidates
         dj = jnp.where(keep, pair[:, j, :], jnp.inf)  # [W, C]
         min_kept = jnp.min(dj, axis=-1)  # [W]
-        ok = valid[:, j] & (count < m) & (min_kept > cand_d[:, j])
+        # keep on ties: the reference rejects only when a kept neighbor is
+        # strictly closer to the candidate than the query is
+        # (getNeighborsByHeuristic2, hnswalg.h:443-483; builder.cpp:309)
+        ok = valid[:, j] & (count < m) & (min_kept >= cand_d[:, j])
         keep = keep.at[:, j].set(ok)
         return keep, count + ok.astype(jnp.int32)
 

@@ -58,6 +58,11 @@ class HNSWIndex:
         # HBM for (bf16) vectors; default on for TPU backends.
         if inline_neighbors is None:
             inline_neighbors = jax.default_backend() == "tpu"
+        if inline_neighbors and 2 * m > 32:
+            # tiled level-0 layout packs a node's ids into one 128-lane row
+            # (make_level0_tiles requires maxM0 <= 32); fall back to the XLA
+            # gather path rather than assert — the reference allows any M.
+            inline_neighbors = False
         self.inline_neighbors = inline_neighbors
         from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
 

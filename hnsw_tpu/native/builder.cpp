@@ -208,7 +208,9 @@ struct HnswBuilder {
     uint32_t cur = ep;
     float cur_d = *ep_dist;
     bool changed = true;
-    int32_t local[64];
+    // sized from maxM0 (>= M): a fixed local[64] silently truncated link
+    // copies for maxM0 > 64 (the reference supports arbitrary M)
+    std::vector<int32_t> local(static_cast<size_t>(maxM0));
     while (changed) {
       changed = false;
       int cnt;
@@ -216,9 +218,8 @@ struct HnswBuilder {
       if (locked) {
         std::lock_guard<std::mutex> g(lock_of(cur));
         const int32_t* src = neighbors(cur, level, &cnt);
-        cnt = std::min(cnt, 64);
-        std::memcpy(local, src, cnt * sizeof(int32_t));
-        nb = local;
+        std::memcpy(local.data(), src, size_t(cnt) * sizeof(int32_t));
+        nb = local.data();
       } else {
         nb = neighbors(cur, level, &cnt);
       }
@@ -258,7 +259,7 @@ struct HnswBuilder {
       lower_bound = std::numeric_limits<float>::max();
     }
 
-    int32_t local[64];
+    std::vector<int32_t> local(static_cast<size_t>(maxM0));
     while (!candidates.empty()) {
       Cand c = candidates.top();
       if (c.dist > lower_bound && results.size() >= size_t(ef)) break;
@@ -268,9 +269,8 @@ struct HnswBuilder {
       if (locked) {
         std::lock_guard<std::mutex> g(lock_of(c.id));
         const int32_t* src = neighbors(c.id, level, &cnt);
-        cnt = std::min(cnt, 64);
-        std::memcpy(local, src, cnt * sizeof(int32_t));
-        nb = local;
+        std::memcpy(local.data(), src, size_t(cnt) * sizeof(int32_t));
+        nb = local.data();
       } else {
         nb = neighbors(c.id, level, &cnt);
       }

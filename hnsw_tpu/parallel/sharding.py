@@ -119,6 +119,8 @@ def build_sharded_arrays(
 
     if inline_neighbors is None:
         inline_neighbors = jax.default_backend() == "tpu"
+    if inline_neighbors and max_m0 > 32:
+        inline_neighbors = False  # tiled layout supports maxM0 <= 32 only
 
     shard_spec = lambda *rest: NamedSharding(mesh, P(shard_axis, *rest))
     put = lambda a, spec: jax.device_put(jnp.asarray(a), spec)
@@ -198,8 +200,11 @@ def sharded_search(
     )
     out_spec = (q_spec, q_spec) if dp_axis else (P(), P())
 
-    # static at trace time: real inline table vs [S,1,1,1] dummy
-    use_inline = arrays.nbr_vectors.shape[-1] == queries.shape[-1]
+    # static at trace time: real inline table vs [S,1,1,1] dummy. The real
+    # table's node axis is n_pad >= 128, the dummy's is 1 — do NOT compare the
+    # trailing dim to the query dim (the table is lane-padded to a multiple of
+    # 128, so that check silently disabled the fast path for dim % 128 != 0).
+    use_inline = arrays.nbr_vectors.shape[1] > 1
     interpret = jax.default_backend() != "tpu"
 
     def local(a: ShardedIndexArrays, q: jax.Array):

@@ -39,7 +39,8 @@ from hnsw_tpu.utils.rss import current_rss_kb
 class _Engine:
     """Device-resident search state shared by both modes."""
 
-    def __init__(self, vectors_np, graph, space, default_ef, default_k, mode, storage=None):
+    def __init__(self, vectors_np, graph, space, default_ef, default_k, mode,
+                 storage=None, deleted=None):
         import jax
         import jax.numpy as jnp
 
@@ -57,7 +58,7 @@ class _Engine:
         x_np = pad_vectors(vectors_np, n_pad)
         self.x = jnp.asarray(x_np)
         self.sq = jnp.sum(self.x * self.x, axis=-1) if space == "l2" else None
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and graph.max_m0 <= 32:
             from hnsw_tpu.ops.pallas_gather import (
                 make_inline_neighbors,
                 make_level0_tiles,
@@ -73,6 +74,14 @@ class _Engine:
             self.nbr_vec = None
             self.l0_tiles = None
         self.labels_np = np.asarray(jax.device_get(self.dg.labels))
+        # markDelete semantics (hnswalg.h:853-900): delete-marked elements
+        # must never be returned; HNSWIndex.search does this via an eligible
+        # mask and the service must match.
+        self.eligible = None
+        if deleted is not None and np.any(deleted):
+            elig = np.ones(n_pad, dtype=bool)
+            elig[: len(deleted)] = ~np.asarray(deleted, dtype=bool)
+            self.eligible = jnp.asarray(elig)
         self.interpret = jax.default_backend() != "tpu"
 
     def search(self, queries: np.ndarray, k: int, ef: int, entry_ids=None):
@@ -101,6 +110,8 @@ class _Engine:
             nbr_vectors=self.nbr_vec,
             level0_tiles=self.l0_tiles,
             expand=2,
+            eligible=self.eligible,
+            has_mask=self.eligible is not None,
             interpret=self.interpret,
         )
         dists = np.asarray(res.dists)[:b0]
@@ -181,12 +192,26 @@ class _MicroBatcher:
                     it[4].set()
 
 
-def _fetch_bulk_vectors(storage: str, dim: int):
-    """One bulk transfer from the storage service → (ids, vecs)."""
+def _fetch_bulk_vectors(storage: str, dim: int, retries: int = 3):
+    """One bulk transfer from the storage service → (ids, vecs).
+
+    Retries with linear backoff like the reference's per-vector fetch
+    (hnsw_graph.cpp:184-209, retry x3) so a storage service that is still
+    coming up or briefly restarting does not kill the query service."""
     import struct
 
-    with urllib.request.urlopen(f"{storage}/vec/bulk?dim={dim}", timeout=300) as r:
-        raw = r.read()
+    raw = None
+    for attempt in range(retries):
+        try:
+            with urllib.request.urlopen(
+                f"{storage}/vec/bulk?dim={dim}", timeout=300
+            ) as r:
+                raw = r.read()
+            break
+        except Exception:
+            if attempt == retries - 1:
+                raise
+            time.sleep(1.0 * (attempt + 1))
     count, d = struct.unpack_from("<II", raw)
     assert d == dim
     rec = np.frombuffer(
@@ -207,7 +232,9 @@ def build_engine(
         from hnsw_tpu.io.checkpoint import load_checkpoint
 
         g, vectors, deleted, meta = load_checkpoint(graph_file)
-        return _Engine(vectors, g, meta.get("space", "l2"), ef, k, "normal")
+        return _Engine(
+            vectors, g, meta.get("space", "l2"), ef, k, "normal", deleted=deleted
+        )
     # optimized: adjacency-only + vectors from the storage service
     from hnsw_tpu.io.adj import read_adj
 

@@ -197,3 +197,26 @@ def test_concurrent_searches_batched(stack):
         t.join()
     hits = sum(results[i] == i for i in range(16))
     assert hits >= 15, results
+
+
+def test_normal_mode_excludes_deleted(tmp_path):
+    """markDelete semantics through the service (hnswalg.h:853-900): a
+    checkpoint with delete-marked elements must never return them from
+    /search-equivalent engine calls."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(200, DIM)).astype(np.float32)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=100)
+    idx.add_items(x)
+    # self-query before delete: label 5 is its own nearest neighbor
+    d0, l0 = idx.search(x[5:6], k=1, ef=64)
+    assert l0[0, 0] == 5
+    idx.mark_deleted(5)
+    ckpt = str(tmp_path / "del.npz")
+    idx.save(ckpt)
+
+    from hnsw_tpu.service import query_service
+
+    eng = query_service.build_engine(ckpt, False, "", DIM, 64, 10)
+    assert eng.eligible is not None
+    d, l = eng.search(x[5:6], k=10, ef=64)
+    assert 5 not in set(int(v) for v in l[0])
