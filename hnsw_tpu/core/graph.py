@@ -166,17 +166,7 @@ def graph_device_arrays(g: HNSWGraph, n_pad: int | None = None) -> DeviceGraph:
             axis=1,
         )
 
-    ml = g.max_level
-    if ml > 0 and g.upper.size:
-        u = g.upper.shape[1]
-        u_pad = round_up(u + 1, 8)
-        upper = np.full((ml, u_pad, g.max_m), sent, dtype=np.int32)
-        upper[:, :u] = np.where(g.upper < 0, sent, g.upper)
-        upper_slot = np.full((ml, n_pad), u_pad - 1, dtype=np.int32)
-        upper_slot[:, :n] = np.where(g.upper_slot < 0, u_pad - 1, g.upper_slot)
-    else:
-        upper = np.zeros((0, 1, 1), dtype=np.int32)
-        upper_slot = np.zeros((0, n_pad), dtype=np.int32)
+    upper, upper_slot = upper_host_arrays(g, n_pad)
 
     labels = np.full((n_pad,), -1, dtype=np.int64)
     labels[:n] = g.labels
@@ -189,6 +179,26 @@ def graph_device_arrays(g: HNSWGraph, n_pad: int | None = None) -> DeviceGraph:
         entry_point=jnp.asarray(g.entry_point, dtype=jnp.int32),
         num_nodes=jnp.asarray(n, dtype=jnp.int32),
     )
+
+
+def upper_host_arrays(g: HNSWGraph, n_pad: int) -> tuple[np.ndarray, np.ndarray]:
+    """Padded upper-level adjacency + slot map as host arrays (sentinel
+    remapped); shared by the full upload and the incremental-sync path (the
+    upper arrays are small — ~N/M rows — and re-derived wholesale)."""
+    n = g.num_nodes
+    sent = n_pad - 1
+    ml = g.max_level
+    if ml > 0 and g.upper.size:
+        u = g.upper.shape[1]
+        u_pad = round_up(u + 1, 8)
+        upper = np.full((ml, u_pad, g.max_m), sent, dtype=np.int32)
+        upper[:, :u] = np.where(g.upper < 0, sent, g.upper)
+        upper_slot = np.full((ml, n_pad), u_pad - 1, dtype=np.int32)
+        upper_slot[:, :n] = np.where(g.upper_slot < 0, u_pad - 1, g.upper_slot)
+    else:
+        upper = np.zeros((0, 1, 1), dtype=np.int32)
+        upper_slot = np.zeros((0, n_pad), dtype=np.int32)
+    return upper, upper_slot
 
 
 def pad_vectors(x: np.ndarray, n_pad: int, dtype=np.float32) -> np.ndarray:

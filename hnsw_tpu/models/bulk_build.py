@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hnsw_tpu.core.graph import graph_device_arrays, pad_vectors, round_up
+
 from hnsw_tpu.core.spaces import Space, get_space
 from hnsw_tpu.ops.distance import gather_dist
 from hnsw_tpu.ops.traversal import search_batch
@@ -120,6 +120,7 @@ def bulk_build(
     labels = np.asarray(labels, dtype=np.int64)
 
     idx = HNSWIndex(space, m=m, ef_construction=ef_construction, seed=seed)
+    idx.growth_headroom = 0.0  # N is fixed for the whole build
     b = idx._builder
     rng = np.random.default_rng(seed)
 
@@ -139,36 +140,27 @@ def bulk_build(
         print(f"  upper phase: {time.time() - t0:.1f}s")
 
     # 2) register level-0 nodes unlinked (so ALL vectors exist now: the
-    # device vector table uploads once at final padding, and per-wave only
-    # the 13MB/100k-node adjacency moves — not the 800MB inline table,
-    # which rebuilds on device)
+    # device vector table uploads once, and per-wave only the touched rows
+    # move through the incremental sync — not the full inline table)
     first_id = b.register_level0_batch(data[lo], labels[lo])
     ids_lo = np.arange(first_id, first_id + len(lo), dtype=np.uint32)
 
-    n_pad = round_up(n + 1, 128)
-    x = jnp.asarray(pad_vectors(b.export_vectors(), n_pad))
-    sq = jnp.sum(x * x, axis=-1) if space.name == "l2" else None
-
     # 3) wave linking: first_wave, then fixed-size waves (static shapes ->
-    # the search/select programs compile once)
+    # the search/select programs compile once). Device state is maintained
+    # across waves by HNSWIndex._sync_device: the first sync uploads
+    # everything, each later wave applies only the connect_batch row deltas
+    # (dirty-node tracking in the native engine).
     interpret = jax.default_backend() != "tpu"
     wave_size = max(first_wave * 4, 1024)
     k_sel = min(select_c, ef_construction)
 
     def wave_link(rows, ids):
         cnt = len(rows)
-        g = b.export_graph()
-        dg = graph_device_arrays(g, n_pad)
-        if not interpret:
-            from hnsw_tpu.ops.pallas_gather import (
-                make_inline_neighbors,
-                make_level0_tiles,
-            )
-
-            nbr_vec = make_inline_neighbors(x, dg.level0)
-            l0t = jax.jit(make_level0_tiles)(dg.level0)
-        else:
-            nbr_vec = l0t = None
+        t0 = time.time()
+        idx._dirty = True
+        dg, x, sq, _, _, nbr_vec = idx._sync_device()
+        nbr, l0t = nbr_vec if nbr_vec is not None else (None, None)
+        t_sync = time.time() - t0
         t0 = time.time()
         q_np = data[rows]
         b_pad = ((cnt + 15) // 16) * 16
@@ -184,7 +176,7 @@ def bulk_build(
             ef=ef_construction,
             space=space.name,
             sq_norms=sq,
-            nbr_vectors=nbr_vec,
+            nbr_vectors=nbr,
             level0_tiles=l0t,
             expand=2,
             interpret=interpret,
@@ -197,7 +189,10 @@ def bulk_build(
         t0 = time.time()
         b.connect_batch(ids, sel_np)
         if verbose:
-            print(f"  wave {cnt}: device {t_dev:.1f}s link {time.time() - t0:.1f}s")
+            print(
+                f"  wave {cnt}: sync {t_sync:.1f}s device {t_dev:.1f}s "
+                f"link {time.time() - t0:.1f}s"
+            )
 
     pos = 0
     wave = first_wave
@@ -207,5 +202,6 @@ def bulk_build(
         pos += cnt
         wave = min(wave * 2, wave_size)
 
+    idx.growth_headroom = 1 / 16  # restore post-build insert headroom
     idx._dirty = True
     return idx

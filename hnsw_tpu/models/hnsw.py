@@ -14,15 +14,76 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from hnsw_tpu.core.graph import (
     DeviceGraph,
     HNSWGraph,
     graph_device_arrays,
     pad_vectors,
     round_up,
+    upper_host_arrays,
 )
 from hnsw_tpu.core.spaces import Space, get_space
 from hnsw_tpu.ops.traversal import SearchResults, search_batch
+
+
+def _bucket(k: int) -> int:
+    """Round a delta size up to a power-of-two bucket so the jitted
+    delta-apply program compiles for O(log) distinct shapes, not one per
+    insert size."""
+    if k <= 0:
+        return 0
+    return max(256, 1 << (k - 1).bit_length())
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_inline", "has_sq"),
+    donate_argnums=(0, 1, 2, 3, 4),
+)
+def _apply_row_deltas(
+    x,  # [N_pad, D] vector table (donated)
+    sq,  # [N_pad] sq norms or dummy (donated)
+    level0,  # [N_pad, m0_pad] (donated)
+    nbr_vec,  # [N_pad, m0_pad, D_pad] inline table or dummy (donated)
+    l0_tiles,  # tiled adjacency or dummy (donated)
+    new_vecs,  # [Nb, D] appended vectors (zero-padded bucket)
+    new_ids,  # [Nb] int32 destination rows (sentinel-padded)
+    dirty_ids,  # [Kb] int32 (sentinel-padded bucket)
+    dirty_rows,  # [Kb, m0_pad] int32 (sentinel-padded)
+    *,
+    use_inline: bool,
+    has_sq: bool,
+):
+    """Apply insert deltas to the device-resident index in place: append new
+    vectors, scatter changed level-0 rows, refresh the affected inline
+    neighbor-vector rows and the tiled adjacency. The padding sentinel row
+    (n_pad-1) absorbs bucket-padding writes harmlessly (it stays all-sentinel
+    links / zero vectors / zero sq-norm). Replaces the full re-upload the
+    round-1 design did on any mutation (reference analog: resizeIndex +
+    incremental addPoint, hnswalg.h:633-683,954-1267)."""
+    if new_vecs.shape[0]:
+        x = x.at[new_ids].set(new_vecs.astype(x.dtype))
+        if has_sq:
+            nsq = jnp.sum(new_vecs.astype(jnp.float32) ** 2, axis=-1)
+            sq = sq.at[new_ids].set(nsq)
+    if dirty_ids.shape[0]:
+        level0 = level0.at[dirty_ids].set(dirty_rows)
+        if use_inline:
+            from hnsw_tpu.ops.pallas_gather import make_level0_tiles
+
+            l0_tiles = make_level0_tiles(level0)
+            d_pad = nbr_vec.shape[-1]
+            rows_v = jnp.take(x, dirty_rows.reshape(-1), axis=0).astype(
+                nbr_vec.dtype
+            )
+            if d_pad != rows_v.shape[-1]:
+                rows_v = jnp.pad(rows_v, ((0, 0), (0, d_pad - rows_v.shape[-1])))
+            nbr_vec = nbr_vec.at[dirty_ids].set(
+                rows_v.reshape(dirty_ids.shape[0], -1, d_pad)
+            )
+    return x, sq, level0, nbr_vec, l0_tiles
 
 
 @dataclasses.dataclass
@@ -45,6 +106,8 @@ class HNSWIndex:
         ef_construction: int = 200,
         seed: int = 123,
         inline_neighbors: bool | None = None,
+        allow_replace_deleted: bool = False,
+        growth_headroom: float = 1 / 16,
     ):
         if isinstance(space, str):
             assert dim is not None, "dim required when space given by name"
@@ -53,6 +116,11 @@ class HNSWIndex:
         self.dim = space.dim
         self.m = m
         self.ef_construction = ef_construction
+        self.allow_replace_deleted = allow_replace_deleted
+        # Device arrays are padded past the current size by this fraction so
+        # small inserts apply as row deltas instead of a full re-upload (the
+        # resizeIndex analog, hnswalg.h:633-683; amortized like std::vector).
+        self.growth_headroom = growth_headroom
         # Inline neighbor-vector table (fast traversal path): one contiguous
         # DMA per hop instead of maxM0 random row reads. Costs maxM0 x extra
         # HBM for (bf16) vectors; default on for TPU backends.
@@ -71,28 +139,52 @@ class HNSWIndex:
         )
         self._device = None  # (DeviceGraph, vectors, sq_norms, deleted_mask, labels_np)
         self._dirty = True
+        self._dirty_deleted = False
+        self._synced_n = 0
 
     # -- construction --------------------------------------------------------
 
-    def add_items(self, data: np.ndarray, labels: np.ndarray | None = None) -> None:
+    def add_items(
+        self,
+        data: np.ndarray,
+        labels: np.ndarray | None = None,
+        replace_deleted: bool = False,
+    ) -> None:
         data = self.space.preprocess(data)
         if labels is None:
             start = self._builder.size
             labels = np.arange(start, start + data.shape[0], dtype=np.int64)
-        self._builder.add_batch(data, np.asarray(labels, dtype=np.int64))
+        labels = np.asarray(labels, dtype=np.int64)
+        if replace_deleted:
+            assert self.allow_replace_deleted, (
+                "index built with allow_replace_deleted=False"
+            )
+            for row, lab in zip(data, labels.reshape(-1)):
+                self._builder.add_replace(row, int(lab))
+        else:
+            self._builder.add_batch(data, labels)
         self._dirty = True
 
-    def add_point(self, vec: np.ndarray, label: int) -> None:
-        self._builder.add(self.space.preprocess(vec)[0], label)
+    def add_point(
+        self, vec: np.ndarray, label: int, replace_deleted: bool = False
+    ) -> None:
+        v = self.space.preprocess(vec)[0]
+        if replace_deleted:
+            assert self.allow_replace_deleted, (
+                "index built with allow_replace_deleted=False"
+            )
+            self._builder.add_replace(v, label)
+        else:
+            self._builder.add(v, label)
         self._dirty = True
 
     def mark_deleted(self, label: int) -> None:
         self._builder.mark_deleted(label)
-        self._dirty = True
+        self._dirty_deleted = True
 
     def unmark_deleted(self, label: int) -> None:
         self._builder.unmark_deleted(label)
-        self._dirty = True
+        self._dirty_deleted = True
 
     @property
     def num_elements(self) -> int:
@@ -105,11 +197,32 @@ class HNSWIndex:
     # -- device state --------------------------------------------------------
 
     def _sync_device(self):
-        if self._device is not None and not self._dirty:
-            return self._device
+        if self._device is None:
+            self._full_sync()
+            self._last_sync_mode = "full"
+        elif self._dirty:
+            if not self._try_incremental_sync():
+                self._full_sync()
+                self._last_sync_mode = "full"
+            else:
+                self._refresh_deleted()
+                self._last_sync_mode = "delta"
+        elif self._dirty_deleted:
+            self._refresh_deleted()
+            self._last_sync_mode = "deleted"
+        else:
+            self._last_sync_mode = "clean"
+        self._dirty = False
+        self._dirty_deleted = False
+        return self._device
+
+    def _full_sync(self):
+        """Rebuild every device array from the host engine (initial upload,
+        growth past the padded capacity, or after an in-place update)."""
         g = self._builder.export_graph()
         n = g.num_nodes
-        n_pad = round_up(n + 1, 128)
+        headroom = int(n * self.growth_headroom)
+        n_pad = round_up(n + 1 + headroom, 128)
         dg = graph_device_arrays(g, n_pad)
         x_np = pad_vectors(self._builder.export_vectors(), n_pad)
         x = jnp.asarray(x_np, dtype=self.space.storage_dtype)
@@ -132,10 +245,111 @@ class HNSWIndex:
         deleted = np.zeros(n_pad, dtype=bool)
         deleted[:n] = self._builder.export_deleted().astype(bool)
         labels_np = np.full(n_pad, -1, dtype=np.int64)
-        labels_np[:n] = np.asarray(jax.device_get(dg.labels))[:n]
+        labels_np[:n] = g.labels
         self._device = (dg, x, sq, deleted, labels_np, nbr_vec)
-        self._dirty = False
-        return self._device
+        self._builder.clear_dirty()
+        self._synced_n = n
+
+    def _refresh_deleted(self):
+        """Delete-marks touch no graph or vector state — refresh only the
+        host-side eligibility mask (markDelete semantics, hnswalg.h:853-900)."""
+        dg, x, sq, _, labels_np, nbr_vec = self._device
+        deleted = np.zeros(dg.n_pad, dtype=bool)
+        n = self._builder.size
+        deleted[:n] = self._builder.export_deleted().astype(bool)
+        self._device = (dg, x, sq, deleted, labels_np, nbr_vec)
+
+    def _try_incremental_sync(self) -> bool:
+        """Apply insert deltas (changed level-0 rows + appended vectors) to
+        the live device arrays. Returns False when only a full rebuild is
+        correct: in-place vector updates (stale inline rows are non-local) or
+        growth past the padded capacity."""
+        b = self._builder
+        flags = b.dirty_flags
+        if flags & 2:
+            return False
+        dg, x, sq, deleted, labels_np, nbr_vec = self._device
+        n_pad = dg.n_pad
+        sent = n_pad - 1
+        n = b.size
+        old_n = self._synced_n
+        if n + 1 > n_pad:
+            return False
+        n_new = n - old_n
+        nb = _bucket(n_new)
+        dirty_ids = b.take_dirty()
+        k = dirty_ids.shape[0]
+        if k == 0 and n_new == 0 and not (flags & 1):
+            return True
+        m0_pad = dg.level0.shape[1]
+        rows = b.export_level0_rows(dirty_ids)
+        rows = np.where(rows < 0, sent, rows).astype(np.int32)
+        if rows.shape[1] != m0_pad:
+            rows = np.concatenate(
+                [rows, np.full((k, m0_pad - rows.shape[1]), sent, np.int32)],
+                axis=1,
+            )
+        if k > n_pad // 2:
+            # the delta's inline-row refresh (k*m0 row gathers) would cost
+            # more than rebuilding the whole table — full resync is cheaper
+            return False
+        kb = _bucket(k)
+        if kb != k:
+            dirty_ids = np.concatenate(
+                [dirty_ids, np.full(kb - k, sent, np.int32)]
+            )
+            rows = np.concatenate(
+                [rows, np.full((kb - k, m0_pad), sent, np.int32)]
+            )
+        new_vecs = np.zeros((nb, self.dim), np.float32)
+        new_ids = np.full(nb, sent, np.int32)
+        if n_new:
+            new_vecs[:n_new] = b.export_vectors_range(old_n, n_new)
+            new_ids[:n_new] = np.arange(old_n, n, dtype=np.int32)
+
+        use_inline = nbr_vec is not None
+        nv, l0t = nbr_vec if use_inline else (
+            jnp.zeros((1, 1, 1), jnp.bfloat16),
+            jnp.zeros((1, 1, 1), jnp.int32),
+        )
+        x, sq2, level0, nv, l0t = _apply_row_deltas(
+            x,
+            sq if sq is not None else jnp.zeros((1,), jnp.float32),
+            dg.level0,
+            nv,
+            l0t,
+            jnp.asarray(new_vecs),
+            jnp.asarray(new_ids),
+            jnp.asarray(dirty_ids),
+            jnp.asarray(rows),
+            use_inline=use_inline,
+            has_sq=sq is not None,
+        )
+        sq = sq2 if sq is not None else None
+        nbr_vec = (nv, l0t) if use_inline else None
+
+        if n_new:
+            labels_np = labels_np.copy()
+            labels_np[old_n:n] = b.export_labels_range(old_n, n_new)
+        rep = {"level0": level0, "num_nodes": jnp.asarray(n, jnp.int32)}
+        if flags & 1:
+            # upper levels / entry changed: re-derive the (small) upper
+            # arrays wholesale
+            g = b.export_graph()
+            upper, upper_slot = upper_host_arrays(g, n_pad)
+            rep.update(
+                upper=jnp.asarray(upper),
+                upper_slot=jnp.asarray(upper_slot),
+                entry_point=jnp.asarray(g.entry_point, jnp.int32),
+            )
+        if n_new:
+            lab_dev = np.full(n_pad, -1, dtype=np.int64)
+            lab_dev[:n] = labels_np[:n]
+            rep["labels"] = jnp.asarray(lab_dev)
+        dg = dataclasses.replace(dg, **rep)
+        self._device = (dg, x, sq, deleted, labels_np, nbr_vec)
+        self._synced_n = n
+        return True
 
     @property
     def device_graph(self) -> DeviceGraph:
@@ -246,6 +460,7 @@ class HNSWIndex:
                 "dim": self.dim,
                 "m": self.m,
                 "ef_construction": self.ef_construction,
+                "allow_replace_deleted": self.allow_replace_deleted,
             },
         )
 
@@ -267,6 +482,10 @@ class HNSWIndex:
         )
         self._device = None
         self._dirty = True
+        self._dirty_deleted = False
+        self._synced_n = 0
+        self.allow_replace_deleted = bool(meta.get("allow_replace_deleted", False))
+        self.growth_headroom = 1 / 16
         return self
 
     def export_adj(self, path: str) -> None:

@@ -120,4 +120,21 @@ def load_builder_lib() -> ctypes.CDLL:
         c.c_void_p, P(c.c_float), c.c_int64, c.c_int, c.c_int,
         P(c.c_int64), P(c.c_float), P(c.c_int32),
     ]
+    lib.hnsw_add_replace.argtypes = [c.c_void_p, P(c.c_float), c.c_int64]
+    lib.hnsw_add_replace.restype = c.c_int
+    lib.hnsw_dirty_count.argtypes = [c.c_void_p]
+    lib.hnsw_dirty_count.restype = c.c_int64
+    lib.hnsw_dirty_flags.argtypes = [c.c_void_p]
+    lib.hnsw_dirty_flags.restype = c.c_int
+    lib.hnsw_take_dirty.argtypes = [c.c_void_p, P(c.c_int32)]
+    lib.hnsw_clear_dirty.argtypes = [c.c_void_p]
+    lib.hnsw_export_level0_rows.argtypes = [
+        c.c_void_p, P(c.c_int32), c.c_int64, P(c.c_int32)
+    ]
+    lib.hnsw_export_vectors_range.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64, P(c.c_float)
+    ]
+    lib.hnsw_export_labels_range.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64, P(c.c_int64)
+    ]
     return lib

@@ -150,6 +150,38 @@ struct HnswBuilder {
   int max_level = -1;
   std::unordered_map<int64_t, uint32_t> label_to_id;
   size_t num_deleted = 0;
+  // Deleted slots available for reuse (allow_replace_deleted semantics,
+  // hnswalg.h:954-961 with the deleted_elements_ set at 815,879-921).
+  std::unordered_set<uint32_t> deleted_ids;
+
+  // Dirty tracking for incremental device sync (the resizeIndex analog,
+  // hnswalg.h:633-683: host growth is automatic, the device applies row
+  // deltas instead of a full re-upload). dirty0 marks nodes whose level-0
+  // row changed since the last hnsw_clear_dirty/take; upper_dirty covers any
+  // upper-level/entry change (small arrays, re-exported wholesale);
+  // full_dirty covers in-place vector updates (referencing inline rows all
+  // go stale -> caller does a full resync).
+  std::vector<uint8_t> dirty0;
+  std::vector<int32_t> dirty_list;
+  std::atomic<bool> upper_dirty{false};
+  std::atomic<bool> full_dirty{false};
+  mutable std::mutex dirty_mutex;
+
+  void mark0(uint32_t id) {
+    std::lock_guard<std::mutex> g(dirty_mutex);
+    if (dirty0.size() < n) dirty0.resize(n, 0);
+    if (!dirty0[id]) {
+      dirty0[id] = 1;
+      dirty_list.push_back(int32_t(id));
+    }
+  }
+  void clear_dirty() {
+    std::lock_guard<std::mutex> g(dirty_mutex);
+    std::fill(dirty0.begin(), dirty0.end(), 0);
+    dirty_list.clear();
+    upper_dirty = false;
+    full_dirty = false;
+  }
 
   mutable VisitedSet visited;
   mutable std::mutex big_lock;  // structural mutations (append, maps)
@@ -341,6 +373,7 @@ struct HnswBuilder {
       }
       for (int j = *cntp; j < m_cap; ++j) my[j] = -1;
     }
+    if (level == 0) mark0(id); else upper_dirty = true;
 
     for (const Cand& c : cands) {
       std::unique_lock<std::mutex> g(lock_of(c.id), std::defer_lock);
@@ -355,6 +388,7 @@ struct HnswBuilder {
           break;
         }
       if (present) continue;
+      if (level == 0) mark0(c.id); else upper_dirty = true;
       if (*ocntp < m_cap) {
         other[(*ocntp)++] = int32_t(id);
       } else {
@@ -400,9 +434,12 @@ struct HnswBuilder {
     cnt_upper.emplace_back(size_t(level), 0);
     label_to_id.emplace(label, id);
 
+    mark0(id);
+    if (level > 0) upper_dirty = true;
     if (entry_point < 0) {
       entry_point = int32_t(id);
       max_level = level;
+      upper_dirty = true;
       return;
     }
     link_node(id, level, /*locked=*/false, nullptr);
@@ -442,6 +479,7 @@ struct HnswBuilder {
       if (level > max_level) {
         max_level = level;
         entry_point = int32_t(id);
+        upper_dirty = true;
       }
     }
   }
@@ -476,9 +514,12 @@ struct HnswBuilder {
         links_upper.emplace_back(size_t(level) * M, -1);
         cnt_upper.emplace_back(size_t(level), 0);
         label_to_id.emplace(label, id);
+        mark0(id);
+        if (level > 0) upper_dirty = true;
         if (entry_point < 0) {
           entry_point = int32_t(id);
           max_level = level;
+          upper_dirty = true;
           continue;
         }
         fresh.push_back(id);
@@ -518,7 +559,12 @@ struct HnswBuilder {
   // a full re-link of the node at its existing levels).
   void update(uint32_t id, const float* v) {
     std::memcpy(data.data() + size_t(id) * dim, v, sizeof(float) * dim);
-    deleted[id] = 0;
+    full_dirty = true;  // in-place vector change staleness is non-local
+    if (deleted[id]) {
+      deleted[id] = 0;
+      --num_deleted;
+      deleted_ids.erase(id);
+    }
     if (n == 1) return;
     int level = node_level[id];
     uint32_t ep = uint32_t(entry_point);
@@ -546,6 +592,39 @@ struct HnswBuilder {
     }
   }
 
+  // Insert reusing a delete-marked slot when one exists (addPoint with
+  // replace_deleted=true, hnswalg.h:954-961: pick a deleted slot, swap the
+  // label mapping, update the vector in place and re-link at the slot's
+  // existing level). Returns 1 if a slot was reused, 0 if appended.
+  int insert_replace(const float* v, int64_t label) {
+    uint32_t reuse_id;
+    {
+      std::lock_guard<std::mutex> g(big_lock);
+      auto it = label_to_id.find(label);
+      if (it != label_to_id.end()) {
+        update(it->second, v);
+        return 0;
+      }
+      if (deleted_ids.empty()) {
+        // fall through to a normal append outside the lock
+        reuse_id = UINT32_MAX;
+      } else {
+        reuse_id = *deleted_ids.begin();
+        deleted_ids.erase(deleted_ids.begin());
+        int64_t old_label = labels[reuse_id];
+        label_to_id.erase(old_label);
+        labels[reuse_id] = label;
+        label_to_id.emplace(label, reuse_id);
+        deleted[reuse_id] = 0;
+        --num_deleted;
+        update(reuse_id, v);
+        return 1;
+      }
+    }
+    insert(v, label);
+    return 0;
+  }
+
   bool mark_deleted(int64_t label, bool del) {
     std::lock_guard<std::mutex> g(big_lock);
     auto it = label_to_id.find(label);
@@ -553,6 +632,8 @@ struct HnswBuilder {
     if (deleted[it->second] != uint8_t(del)) {
       deleted[it->second] = uint8_t(del);
       num_deleted += del ? 1 : -1;
+      if (del) deleted_ids.insert(it->second);
+      else deleted_ids.erase(it->second);
     }
     return true;
   }
@@ -629,9 +710,12 @@ void hnsw_add_with_level(HnswBuilder* b, const float* vec, int64_t label,
   b->links_upper.emplace_back(size_t(level) * b->M, -1);
   b->cnt_upper.emplace_back(size_t(level), 0);
   b->label_to_id.emplace(label, id);
+  b->mark0(id);
+  if (level > 0) b->upper_dirty = true;
   if (b->entry_point < 0) {
     b->entry_point = int32_t(id);
     b->max_level = level;
+    b->upper_dirty = true;
     return;
   }
   b->link_node(id, level, false, nullptr);
@@ -656,9 +740,11 @@ int64_t hnsw_register_level0_batch(HnswBuilder* b, const float* vecs,
     b->links_upper.emplace_back();
     b->cnt_upper.emplace_back();
     b->label_to_id.emplace(labels[i], id);
+    b->mark0(id);
     if (b->entry_point < 0) {
       b->entry_point = int32_t(id);
       b->max_level = 0;
+      b->upper_dirty = true;
     }
   }
   return first;
@@ -757,7 +843,10 @@ HnswBuilder* hnsw_import(int dim, int space, int M, int ef_construction,
   b->node_level.assign(node_level, node_level + n);
   b->deleted.assign(deleted, deleted + n);
   b->num_deleted = 0;
-  for (int64_t i = 0; i < n; ++i) b->num_deleted += deleted[i];
+  for (int64_t i = 0; i < n; ++i) {
+    b->num_deleted += deleted[i];
+    if (deleted[i]) b->deleted_ids.insert(uint32_t(i));
+  }
   b->links0.assign(level0, level0 + size_t(n) * b->maxM0);
   b->cnt0.resize(n);
   for (int64_t i = 0; i < n; ++i) {
@@ -791,6 +880,57 @@ HnswBuilder* hnsw_import(int dim, int space, int M, int ef_construction,
 int hnsw_search(HnswBuilder* b, const float* q, int k, int ef,
                 int64_t* out_labels, float* out_dists) {
   return b->search(q, k, ef, out_labels, out_dists);
+}
+
+int hnsw_add_replace(HnswBuilder* b, const float* vec, int64_t label) {
+  return b->insert_replace(vec, label);
+}
+
+// --- incremental device sync (dirty-row deltas) -----------------------------
+
+int64_t hnsw_dirty_count(HnswBuilder* b) {
+  std::lock_guard<std::mutex> g(b->dirty_mutex);
+  return int64_t(b->dirty_list.size());
+}
+
+// bit 0: upper levels / entry point changed; bit 1: in-place vector update
+// happened (caller must full-resync).
+int hnsw_dirty_flags(HnswBuilder* b) {
+  return (b->upper_dirty.load() ? 1 : 0) | (b->full_dirty.load() ? 2 : 0);
+}
+
+// Copy the dirty-node list into `out` (caller sized it from
+// hnsw_dirty_count) and clear all dirty state.
+void hnsw_take_dirty(HnswBuilder* b, int32_t* out) {
+  std::lock_guard<std::mutex> g(b->dirty_mutex);
+  std::memcpy(out, b->dirty_list.data(),
+              b->dirty_list.size() * sizeof(int32_t));
+  std::fill(b->dirty0.begin(), b->dirty0.end(), 0);
+  b->dirty_list.clear();
+  b->upper_dirty = false;
+  b->full_dirty = false;
+}
+
+void hnsw_clear_dirty(HnswBuilder* b) { b->clear_dirty(); }
+
+void hnsw_export_level0_rows(HnswBuilder* b, const int32_t* ids, int64_t k,
+                             int32_t* out) {
+  for (int64_t i = 0; i < k; ++i) {
+    std::memcpy(out + i * b->maxM0,
+                b->links0.data() + size_t(uint32_t(ids[i])) * b->maxM0,
+                b->maxM0 * sizeof(int32_t));
+  }
+}
+
+void hnsw_export_vectors_range(HnswBuilder* b, int64_t start, int64_t count,
+                               float* out) {
+  std::memcpy(out, b->data.data() + size_t(start) * b->dim,
+              size_t(count) * b->dim * sizeof(float));
+}
+
+void hnsw_export_labels_range(HnswBuilder* b, int64_t start, int64_t count,
+                              int64_t* out) {
+  std::memcpy(out, b->labels.data() + start, size_t(count) * sizeof(int64_t));
 }
 
 // Batched single-thread search (for baseline QPS measurement).

@@ -153,6 +153,13 @@ class NativeHNSWBuilder:
             len(ids), _ptr(sel, _I32P), sel.shape[1],
         )
 
+    def add_replace(self, vec: np.ndarray, label: int) -> bool:
+        """Insert reusing a delete-marked slot when available
+        (allow_replace_deleted semantics, hnswalg.h:954-961,879-921).
+        Returns True if a deleted slot was reused."""
+        v = np.ascontiguousarray(vec, dtype=np.float32).reshape(self.dim)
+        return bool(self.lib.hnsw_add_replace(self._h, _ptr(v, _F32P), label))
+
     def mark_deleted(self, label: int) -> None:
         if self.lib.hnsw_mark_deleted(self._h, label) != 0:
             raise KeyError(f"label {label} not in index")
@@ -178,6 +185,54 @@ class NativeHNSWBuilder:
     @property
     def num_deleted(self) -> int:
         return int(self.lib.hnsw_num_deleted(self._h))
+
+    # -- incremental sync (dirty-row deltas; resizeIndex analog) -------------
+
+    @property
+    def dirty_flags(self) -> int:
+        """bit 0: upper levels/entry changed; bit 1: in-place vector update
+        (caller must do a full device resync)."""
+        return int(self.lib.hnsw_dirty_flags(self._h))
+
+    def take_dirty(self) -> np.ndarray:
+        """Ids whose level-0 rows changed since the last take/clear; clears
+        all dirty state."""
+        cnt = int(self.lib.hnsw_dirty_count(self._h))
+        out = np.empty(cnt, dtype=np.int32)
+        if cnt:
+            self.lib.hnsw_take_dirty(self._h, _ptr(out, _I32P))
+        else:
+            self.lib.hnsw_clear_dirty(self._h)
+        return out
+
+    def clear_dirty(self) -> None:
+        self.lib.hnsw_clear_dirty(self._h)
+
+    def export_level0_rows(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.ascontiguousarray(ids, dtype=np.int32).reshape(-1)
+        max_m0 = int(self.lib.hnsw_max_m0(self._h))
+        out = np.empty((len(ids), max_m0), dtype=np.int32)
+        if len(ids):
+            self.lib.hnsw_export_level0_rows(
+                self._h, _ptr(ids, _I32P), len(ids), _ptr(out, _I32P)
+            )
+        return out
+
+    def export_vectors_range(self, start: int, count: int) -> np.ndarray:
+        out = np.empty((count, self.dim), dtype=np.float32)
+        if count:
+            self.lib.hnsw_export_vectors_range(
+                self._h, start, count, _ptr(out, _F32P)
+            )
+        return out
+
+    def export_labels_range(self, start: int, count: int) -> np.ndarray:
+        out = np.empty(count, dtype=np.int64)
+        if count:
+            self.lib.hnsw_export_labels_range(
+                self._h, start, count, _ptr(out, _I64P)
+            )
+        return out
 
     # -- export to padded-CSR -----------------------------------------------
 

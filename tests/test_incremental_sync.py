@@ -1,0 +1,136 @@
+"""Incremental device sync (resizeIndex analog, hnswalg.h:633-683) and
+allow_replace_deleted (hnswalg.h:954-961,879-921).
+
+A mutation after the first sync must apply as row deltas — identical device
+state to a from-scratch rebuild, without the full re-upload."""
+
+import numpy as np
+import pytest
+
+from hnsw_tpu.core.graph import check_integrity
+from hnsw_tpu.models.hnsw import HNSWIndex
+
+DIM = 24
+
+
+def _data(n, seed=0):
+    return np.random.default_rng(seed).normal(size=(n, DIM)).astype(np.float32)
+
+
+def test_insert_delta_matches_full_rebuild(rng):
+    x = _data(3000)
+    extra = _data(150, seed=1)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=80)
+    idx.add_items(x)
+    q = _data(32, seed=2)
+    idx.search(q, k=5, ef=60)
+    assert idx._last_sync_mode == "full"
+
+    idx.add_items(extra, np.arange(3000, 3150))
+    d1, l1 = idx.search(q, k=5, ef=60)
+    assert idx._last_sync_mode == "delta", "insert should sync incrementally"
+
+    # force a from-scratch rebuild of the same builder state; results and
+    # (sentinel-normalized) device rows must be identical. n_pad differs
+    # between the two paths (the delta keeps the old padding), so compare in
+    # id space with out-of-range remapped to -1.
+    n = idx.num_elements
+    dg_delta = idx._device[0]
+    lvl_delta = np.asarray(dg_delta.level0)[:n]
+    lvl_delta = np.where(lvl_delta >= n, -1, lvl_delta)
+    x_delta = np.asarray(idx._device[1])[:n]
+    idx._device = None
+    idx._dirty = True
+    d2, l2 = idx.search(q, k=5, ef=60)
+    assert idx._last_sync_mode == "full"
+    dg_full = idx._device[0]
+    lvl_full = np.asarray(dg_full.level0)[:n]
+    lvl_full = np.where(lvl_full >= n, -1, lvl_full)
+    np.testing.assert_array_equal(lvl_delta, lvl_full)
+    np.testing.assert_allclose(x_delta, np.asarray(idx._device[1])[:n], rtol=0)
+    np.testing.assert_allclose(d1, d2)
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_mark_deleted_skips_graph_rebuild():
+    x = _data(1500)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=80)
+    idx.add_items(x)
+    q = x[:16]
+    idx.search(q, k=3, ef=40)
+    lvl0_before = idx._device[0].level0
+    idx.mark_deleted(7)
+    d, l = idx.search(q, k=3, ef=40)
+    assert idx._last_sync_mode == "deleted"
+    assert idx._device[0].level0 is lvl0_before, "graph arrays must be reused"
+    assert 7 not in set(l.ravel().tolist())
+
+
+def test_update_forces_full_resync():
+    x = _data(800)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=80)
+    idx.add_items(x)
+    idx.search(x[:16], k=3, ef=40)
+    # same label, new vector -> in-place update -> stale inline rows are
+    # non-local, must full-resync
+    idx.add_point(_data(1, seed=9)[0], 5)
+    idx.search(x[:16], k=3, ef=40)
+    assert idx._last_sync_mode == "full"
+
+
+def test_growth_past_headroom_full_resyncs():
+    x = _data(500)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=80)
+    idx.growth_headroom = 0.0
+    idx.add_items(x)
+    idx.search(x[:16], k=3, ef=40)
+    n_pad = idx._device[0].n_pad
+    idx.add_items(_data(n_pad, seed=3), np.arange(500, 500 + n_pad))
+    d, l = idx.search(x[:16], k=3, ef=40)
+    assert idx._last_sync_mode == "full"
+    assert (l[:, 0] == np.arange(16)).mean() >= 0.9
+
+
+def test_replace_deleted_reuses_slots():
+    x = _data(1200)
+    idx = HNSWIndex(
+        "l2", dim=DIM, m=8, ef_construction=100, allow_replace_deleted=True
+    )
+    idx.add_items(x)
+    n0 = idx.num_elements
+    victims = [3, 44, 555, 700, 1100]
+    for lab in victims:
+        idx.mark_deleted(lab)
+    fresh = _data(len(victims), seed=7)
+    new_labels = np.arange(5000, 5000 + len(victims))
+    idx.add_items(fresh, new_labels, replace_deleted=True)
+    assert idx.num_elements == n0, "replace must reuse slots, not append"
+    assert idx._builder.num_deleted == 0
+    check_integrity(idx.graph, require_inbound=False)
+    # old labels gone, new labels findable as their own nearest neighbor
+    d, l = idx.search(fresh, k=1, ef=100)
+    np.testing.assert_array_equal(l[:, 0], new_labels)
+    d2, l2 = idx.search(x[:64], k=10, ef=100)
+    for lab in victims:
+        assert lab not in set(l2.ravel().tolist())
+    # recall sanity on the untouched points
+    hits = np.mean(l2[:, 0] == np.arange(64))
+    assert hits >= 0.85
+
+
+def test_replace_deleted_requires_flag():
+    idx = HNSWIndex("l2", dim=DIM, m=8)
+    idx.add_items(_data(50))
+    with pytest.raises(AssertionError):
+        idx.add_point(_data(1)[0], 99, replace_deleted=True)
+
+
+def test_replace_deleted_appends_when_none_deleted():
+    idx = HNSWIndex(
+        "l2", dim=DIM, m=8, ef_construction=80, allow_replace_deleted=True
+    )
+    idx.add_items(_data(100))
+    idx.add_items(_data(3, seed=4), np.array([200, 201, 202]), replace_deleted=True)
+    assert idx.num_elements == 103
+    d, l = idx.search(_data(3, seed=4), k=1, ef=80)
+    np.testing.assert_array_equal(l[:, 0], [200, 201, 202])
