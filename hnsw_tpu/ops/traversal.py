@@ -215,12 +215,16 @@ def search_batch(
         eligible = jnp.ones((1,), dtype=bool)  # placeholder, unused
 
     # ---- entry ------------------------------------------------------------
+    ep = jnp.broadcast_to(graph.entry_point, (b,)).astype(jnp.int32)
     if entry_ids is None:
-        cur = jnp.broadcast_to(graph.entry_point, (b,)).astype(jnp.int32)
+        cur = ep
     else:
-        cur = entry_ids.astype(jnp.int32)
-    # Guard invalid entry (empty graph / bad override): park on the dummy row
-    # with inf distance so it can never win a merge.
+        # invalid/negative overrides fall back to the graph entry point (a
+        # shard without the requested entry label still answers the query)
+        e = entry_ids.astype(jnp.int32)
+        cur = jnp.where((e >= 0) & (e < num_nodes), e, ep)
+    # Guard an empty graph (entry_point -1): park on the dummy row with inf
+    # distance so it can never win a merge.
     ent_ok = (cur >= 0) & (cur < num_nodes)
     cur = jnp.where(ent_ok, cur, sent)
     cur_d = gather_dist(q, vectors, cur[:, None], space, x_sq_norms=sq_norms)[:, 0]

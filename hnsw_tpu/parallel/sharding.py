@@ -163,11 +163,16 @@ def build_sharded_arrays(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "space", "expand", "max_iters", "mesh", "dp_axis", "shard_axis"),
+    static_argnames=(
+        "k", "ef", "space", "expand", "max_iters", "mesh", "dp_axis",
+        "shard_axis", "has_mask", "has_entry",
+    ),
 )
 def sharded_search(
     arrays: ShardedIndexArrays,
     queries: jax.Array,  # [B, D], replicated (or dp-sharded) across devices
+    eligible: jax.Array,  # [S, n_pad] bool per-shard mask ([S, 1] dummy when off)
+    entry_ids: jax.Array,  # [S, B] int32 per-shard entry override ([S, 1] dummy)
     *,
     k: int,
     ef: int,
@@ -177,12 +182,19 @@ def sharded_search(
     mesh: Mesh,
     dp_axis: str | None = None,
     shard_axis: str = "shard",
+    has_mask: bool = False,
+    has_entry: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Search all shards and merge → (dists [B, k], labels [B, k] int64).
 
     Inside shard_map each device searches its own sub-index with the full
     single-chip kernel; the [S, B, k] partial results are all-gathered over
     ICI and reduced by a length-S*k top-k merge, replicated back.
+
+    `eligible` carries deleted-mark + label-filter eligibility per shard
+    (markDelete/BaseFilterFunctor parity with the single-chip index,
+    hnswalg.h:853-900, hnswlib.h:128-132); `entry_ids` carries per-shard
+    local entry overrides (-1 = that shard's default entry point).
     """
     q_spec = P(dp_axis, None) if dp_axis else P()
     # every index leaf is sharded on its leading [S] axis
@@ -199,6 +211,11 @@ def sharded_search(
         level0_tiles=P(shard_axis, None, None, None),
     )
     out_spec = (q_spec, q_spec) if dp_axis else (P(), P())
+    elig_spec = P(shard_axis, None)
+    # the dummy entry array is [S, 1] — only dp-split a real [S, B] one
+    ent_spec = (
+        P(shard_axis, dp_axis) if (dp_axis and has_entry) else P(shard_axis, None)
+    )
 
     # static at trace time: real inline table vs [S,1,1,1] dummy. The real
     # table's node axis is n_pad >= 128, the dummy's is 1 — do NOT compare the
@@ -207,7 +224,7 @@ def sharded_search(
     use_inline = arrays.nbr_vectors.shape[1] > 1
     interpret = jax.default_backend() != "tpu"
 
-    def local(a: ShardedIndexArrays, q: jax.Array):
+    def local(a: ShardedIndexArrays, q: jax.Array, el: jax.Array, en: jax.Array):
         # strip the leading local-shard dim (size 1 per device)
         a1 = jax.tree_util.tree_map(lambda t: t[0], a)
         res = search_batch(
@@ -218,6 +235,9 @@ def sharded_search(
             ef=ef,
             space=space,
             sq_norms=a1.sq_norms if space == "l2" else None,
+            eligible=el[0] if has_mask else None,
+            has_mask=has_mask,
+            entry_ids=en[0] if has_entry else None,
             nbr_vectors=a1.nbr_vectors if use_inline else None,
             level0_tiles=a1.level0_tiles if use_inline else None,
             expand=expand,
@@ -241,11 +261,11 @@ def sharded_search(
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(arr_spec, q_spec),
+        in_specs=(arr_spec, q_spec, elig_spec, ent_spec),
         out_specs=out_spec,
         check_vma=False,
     )
-    return fn(arrays, queries)
+    return fn(arrays, queries, eligible, entry_ids)
 
 
 class ShardedHNSWIndex:
@@ -280,7 +300,9 @@ class ShardedHNSWIndex:
         self.ef_construction = ef_construction
         self.seed = seed
         self._builders = None
-        self._labels_per_shard = None
+        self._shard_labels: list[np.ndarray] | None = None  # per-shard labels
+        self._shard_deleted: list[np.ndarray] | None = None  # per-shard bool
+        self._label_map: dict[int, tuple[int, int]] | None = None  # label -> (shard, local)
         self._arrays: ShardedIndexArrays | None = None
 
     def build(self, data: np.ndarray, labels: np.ndarray | None = None) -> None:
@@ -290,6 +312,7 @@ class ShardedHNSWIndex:
         n = data.shape[0]
         if labels is None:
             labels = np.arange(n, dtype=np.int64)
+        labels = np.asarray(labels, dtype=np.int64)
         s = self.num_shards
         # round-robin partition keeps shards balanced for any input order
         parts = [np.arange(i, n, s) for i in range(s)]
@@ -304,16 +327,88 @@ class ShardedHNSWIndex:
 
         with concurrent.futures.ThreadPoolExecutor(max_workers=s) as ex:
             self._builders = list(ex.map(build_one, range(s)))
+        self._reindex_labels()
+        self._rebuild_arrays()
 
+    def _reindex_labels(self) -> None:
+        """Rebuild the per-shard label tables and the label -> (shard, local)
+        map from the builders (single-chip feature parity: filters, deletes
+        and entry overrides address elements by external label)."""
+        self._shard_labels = []
+        self._shard_deleted = []
+        self._label_map = {}
+        for i, b in enumerate(self._builders):
+            g = b.export_graph()
+            self._shard_labels.append(g.labels.copy())
+            self._shard_deleted.append(b.export_deleted().astype(bool))
+            for local, lab in enumerate(g.labels):
+                self._label_map[int(lab)] = (i, local)
+
+    def _rebuild_arrays(self) -> None:
         shards = [
             (b.export_graph(), b.export_vectors()) for b in self._builders
         ]
-        self._arrays = build_sharded_arrays(shards, self.space, self.mesh, self.shard_axis)
+        self._arrays = build_sharded_arrays(
+            shards, self.space, self.mesh, self.shard_axis
+        )
 
     @property
     def arrays(self) -> ShardedIndexArrays:
-        assert self._arrays is not None, "call build() first"
+        assert self._builders is not None, "call build() first"
+        if self._arrays is None:
+            self._rebuild_arrays()
         return self._arrays
+
+    # -- mutation (single-chip parity: add/delete by external label) --------
+
+    def add_items(self, data: np.ndarray, labels: np.ndarray | None = None) -> None:
+        """Incremental insert: rows are distributed to the smallest shards
+        (keeps the round-robin balance); device arrays re-stack lazily on the
+        next search."""
+        assert self._builders is not None, "call build() first"
+        data = self.space.preprocess(data)
+        if labels is None:
+            start = sum(b.size for b in self._builders)
+            labels = np.arange(start, start + data.shape[0], dtype=np.int64)
+        labels = np.asarray(labels, dtype=np.int64).reshape(-1)
+        sizes = np.asarray([b.size for b in self._builders])
+        # assign items round-robin starting from the currently smallest shards
+        rank = np.argsort(sizes, kind="stable")
+        shard_of = rank[np.arange(data.shape[0]) % self.num_shards]
+        for i in range(self.num_shards):
+            sel = shard_of == i
+            if not sel.any():
+                continue
+            first_local = self._builders[i].size
+            self._builders[i].add_batch(data[sel], labels[sel])
+            labs = labels[sel]
+            self._shard_labels[i] = np.concatenate([self._shard_labels[i], labs])
+            self._shard_deleted[i] = np.concatenate(
+                [self._shard_deleted[i], np.zeros(len(labs), bool)]
+            )
+            for off, lab in enumerate(labs):
+                self._label_map[int(lab)] = (i, first_local + off)
+        self._arrays = None  # re-stack lazily
+
+    def mark_deleted(self, label: int) -> None:
+        loc = self._label_map.get(int(label))
+        if loc is None:
+            raise KeyError(f"label {label} not in index")
+        shard, local = loc
+        self._builders[shard].mark_deleted(label)
+        self._shard_deleted[shard][local] = True
+
+    def unmark_deleted(self, label: int) -> None:
+        loc = self._label_map.get(int(label))
+        if loc is None:
+            raise KeyError(f"label {label} not in index")
+        shard, local = loc
+        self._builders[shard].unmark_deleted(label)
+        self._shard_deleted[shard][local] = False
+
+    @property
+    def num_elements(self) -> int:
+        return sum(b.size for b in self._builders)
 
     # -- persistence ---------------------------------------------------------
 
@@ -371,10 +466,23 @@ class ShardedHNSWIndex:
         self._arrays = build_sharded_arrays(
             shards, self.space, self.mesh, self.shard_axis
         )
+        self._reindex_labels()
 
     def search(
-        self, queries: np.ndarray, k: int = 10, ef: int = 200, expand: int = 1
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        ef: int = 200,
+        expand: int = 1,
+        *,
+        filter_labels: np.ndarray | None = None,
+        entry_labels: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched kNN over all shards (single-chip parity features:
+        `filter_labels` is a bool mask over external labels, delete-marked
+        elements are always excluded, `entry_labels` optionally overrides the
+        per-query entry point by external label — each shard maps the label
+        to its local id or falls back to its own entry point)."""
         q_np = self.space.preprocess(queries)
         b0 = q_np.shape[0]
         # pad so each dp-local batch is a multiple of the hop-kernel tile
@@ -384,9 +492,42 @@ class ShardedHNSWIndex:
             q_np = np.concatenate(
                 [q_np, np.zeros((b_pad - b0, self.dim), np.float32)]
             )
+
+        arrays = self.arrays
+        s = self.num_shards
+        n_pad = arrays.level0.shape[1]
+        any_deleted = any(d.any() for d in self._shard_deleted)
+        has_mask = any_deleted or filter_labels is not None
+        if has_mask:
+            elig = np.ones((s, n_pad), dtype=bool)
+            for i in range(s):
+                n_i = len(self._shard_deleted[i])
+                ok = ~self._shard_deleted[i]
+                if filter_labels is not None:
+                    ok = ok & np.asarray(filter_labels, dtype=bool)[
+                        self._shard_labels[i]
+                    ]
+                elig[i, :n_i] = ok
+            eligible = jnp.asarray(elig)
+        else:
+            eligible = jnp.ones((s, 1), dtype=bool)
+
+        has_entry = entry_labels is not None
+        if has_entry:
+            ent = np.full((s, b_pad), -1, dtype=np.int32)
+            for j, lab in enumerate(np.asarray(entry_labels).reshape(-1)):
+                loc = self._label_map.get(int(lab))
+                if loc is not None:
+                    ent[loc[0], j] = loc[1]
+            entry_ids = jnp.asarray(ent)
+        else:
+            entry_ids = jnp.zeros((s, 1), dtype=jnp.int32)
+
         d, l = sharded_search(
-            self.arrays,
+            arrays,
             jnp.asarray(q_np),
+            eligible,
+            entry_ids,
             k=k,
             ef=max(ef, k),
             space=self.space.name,
@@ -394,5 +535,7 @@ class ShardedHNSWIndex:
             mesh=self.mesh,
             dp_axis=self.dp_axis,
             shard_axis=self.shard_axis,
+            has_mask=has_mask,
+            has_entry=has_entry,
         )
         return np.asarray(d)[:b0], np.asarray(l)[:b0]

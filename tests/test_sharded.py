@@ -98,3 +98,55 @@ def test_sharded_save_load(tmp_path, data):
     d2, l2 = idx2.search(q, k=10, ef=64)
     np.testing.assert_array_equal(l1, l2)
     np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+
+def test_sharded_filter_and_delete(data):
+    """Single-chip parity on the sharded index (markDelete hnswalg.h:853-900,
+    BaseFilterFunctor hnswlib.h:128-132): deleted labels never returned,
+    filter masks restrict results."""
+    x, q, gt = data
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    idx = ShardedHNSWIndex("l2", DIM, mesh=mesh, m=8, ef_construction=100)
+    idx.build(x)
+    d0, l0 = idx.search(q, k=10, ef=100)
+    victim = int(l0[0, 0])
+    idx.mark_deleted(victim)
+    d1, l1 = idx.search(q, k=10, ef=100)
+    assert victim not in set(l1.ravel().tolist())
+    idx.unmark_deleted(victim)
+    d2, l2 = idx.search(q[:8], k=10, ef=100)
+    assert victim in set(l2[0])
+    # filter: only labels < 500 eligible
+    mask = np.zeros(N, dtype=bool)
+    mask[:500] = True
+    d3, l3 = idx.search(q, k=5, ef=100, filter_labels=mask)
+    valid = l3[l3 >= 0]
+    assert len(valid) and (valid < 500).all()
+
+
+def test_sharded_incremental_add(data):
+    x, q, gt = data
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    idx = ShardedHNSWIndex("l2", DIM, mesh=mesh, m=8, ef_construction=100)
+    idx.build(x[:3000], np.arange(3000))
+    extra = x[3000:3500]
+    idx.add_items(extra, np.arange(3000, 3500))
+    assert idx.num_elements == 3500
+    # inserted points must be findable as their own nearest neighbor
+    d, l = idx.search(extra[:32], k=1, ef=100)
+    assert np.mean(l[:, 0] == np.arange(3000, 3032)) >= 0.9
+    # shard balance maintained (round-robin to smallest shards)
+    sizes = [b.size for b in idx._builders]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_sharded_entry_override(data):
+    x, q, gt = data
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    idx = ShardedHNSWIndex("l2", DIM, mesh=mesh, m=8, ef_construction=100)
+    idx.build(x)
+    # entry override by external label: results should still be correct
+    # (each shard maps the label locally or falls back to its entry point)
+    ent = np.full(len(q), 7, dtype=np.int64)
+    d, l = idx.search(q, k=10, ef=100, entry_labels=ent)
+    assert _recall(l, gt) >= 0.9
