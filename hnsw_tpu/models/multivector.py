@@ -10,10 +10,12 @@ Reference capability surface (hnswlib/stop_condition.h):
   searchStopConditionClosest (hnswalg.h:1327-1378) returns the top-k
   *documents*, each scored by its closest vector.
 
-TPU re-expression: both run the same fixed-ef batched beam (the beam width
-plays the reference's max_num_candidates bound), followed by dense
-post-aggregation — a mask for epsilon, a per-document min-reduce for
-multi-vector — instead of pluggable heap stop-conditions.
+TPU re-expression: both run the fixed-ef batched beam and widen it
+adaptively — the reference's heap search stops when the stop condition is
+satisfied; ours re-runs with a doubled beam for the (rare) saturated batch,
+which keeps every search a fixed-shape compiled program. Aggregation is a
+dense vectorized reduce (argsort + first-occurrence masks), not a per-query
+host loop.
 """
 
 from __future__ import annotations
@@ -39,18 +41,41 @@ def epsilon_search(
     matching the reference's raw dist space) or among the min_candidates
     closest overall; at most max_candidates per query; padding rows have
     valid=False / label=-1.
+
+    `max_candidates` is an independent bound, not a beam clamp: the beam
+    starts small and doubles while any query's beam is saturated with
+    within-epsilon points (meaning more may exist beyond it), up to
+    max_candidates.
     """
     assert min_candidates <= max_candidates
-    ef = max(ef, max_candidates)
-    dists, labels = index.search(
-        queries,
-        k=max_candidates,
-        ef=ef,
-        params=SearchParams(k=max_candidates, ef=ef),
-    )
-    within = dists <= epsilon
+    n = index.num_elements
+    beam = max(ef, min_candidates, min(max_candidates, 64))
+    beam = min(beam, max(max_candidates, min_candidates))
+    while True:
+        k_cur = min(beam, max_candidates)
+        dists, labels = index.search(
+            queries,
+            k=k_cur,
+            ef=beam,
+            params=SearchParams(k=k_cur, ef=beam),
+        )
+        within = dists <= epsilon
+        # saturated: every returned slot is a real within-epsilon point ->
+        # the bound, not the data, decided the count; widen if allowed
+        saturated = np.all(within & (labels >= 0), axis=1)
+        if beam >= max_candidates or beam >= n or not saturated.any():
+            break
+        beam = min(beam * 2, max(max_candidates, 1))
+    if dists.shape[1] < max_candidates:
+        pad = max_candidates - dists.shape[1]
+        dists = np.concatenate(
+            [dists, np.full((len(dists), pad), np.inf, np.float32)], axis=1
+        )
+        labels = np.concatenate(
+            [labels, np.full((len(labels), pad), -1, np.int64)], axis=1
+        )
     rank = np.arange(max_candidates)[None, :]
-    valid = (within | (rank < min_candidates)) & (labels >= 0)
+    valid = ((dists <= epsilon) | (rank < min_candidates)) & (labels >= 0)
     labels = np.where(valid, labels, -1)
     dists = np.where(valid, dists, np.inf)
     return dists, labels, valid
@@ -77,48 +102,67 @@ class MultiVectorIndex:
         if isinstance(space, str):
             space = get_space(space, dim)
         self.index = HNSWIndex(space, m=m, ef_construction=ef_construction, seed=seed)
-        self._doc_of: dict[int, int] = {}  # vector label -> doc id
+        self._doc_arr = np.empty(0, dtype=np.int64)  # vector label -> doc id
+        self._docs: set[int] = set()
         self._next_label = 0
 
     def add_document(self, doc_id: int, vectors: np.ndarray) -> None:
         vectors = np.asarray(vectors, dtype=np.float32).reshape(-1, self.index.dim)
         labels = np.arange(self._next_label, self._next_label + len(vectors))
         self._next_label += len(vectors)
-        for l in labels:
-            self._doc_of[int(l)] = doc_id
+        self._doc_arr = np.concatenate(
+            [self._doc_arr, np.full(len(vectors), doc_id, np.int64)]
+        )
+        self._docs.add(doc_id)
         self.index.add_items(vectors, labels)
 
     @property
     def num_docs(self) -> int:
-        return len(set(self._doc_of.values()))
+        return len(self._docs)
+
+    def _aggregate(
+        self, dists: np.ndarray, labels: np.ndarray, k_docs: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized per-document min-reduce: beam rows are distance-sorted,
+        so a stable sort by doc id keeps each doc's closest vector first;
+        the first-occurrence mask selects it. Returns (doc_dists, doc_ids,
+        distinct_count per query)."""
+        valid = (labels >= 0) & np.isfinite(dists)
+        docs = np.where(valid, self._doc_arr[np.maximum(labels, 0)], np.int64(2**62))
+        order = np.argsort(docs, axis=1, kind="stable")
+        s_docs = np.take_along_axis(docs, order, axis=1)
+        s_d = np.take_along_axis(np.where(valid, dists, np.inf), order, axis=1)
+        first = np.ones_like(s_docs, dtype=bool)
+        first[:, 1:] = s_docs[:, 1:] != s_docs[:, :-1]
+        first &= s_docs < 2**62
+        key = np.where(first, s_d, np.inf)
+        sel = np.argsort(key, axis=1, kind="stable")[:, :k_docs]
+        out_d = np.take_along_axis(key, sel, axis=1).astype(np.float32)
+        out_doc = np.where(
+            np.isfinite(out_d), np.take_along_axis(s_docs, sel, axis=1), -1
+        )
+        return out_d, out_doc, first.sum(axis=1)
 
     def search(
         self, queries: np.ndarray, k_docs: int = 10, ef: int = 0, oversample: int = 4
     ) -> tuple[np.ndarray, np.ndarray]:
         """→ (doc_dists [B, k_docs], doc_ids [B, k_docs]; -1 = missing).
 
-        The beam retrieves oversample*k_docs vectors (the reference's stop
-        condition similarly keeps searching until k distinct docs are
-        stable); vectors collapse to documents by min-distance.
+        Matches searchStopConditionClosest's guarantee (hnswalg.h:1327-1378):
+        the beam widens until k_docs *distinct* documents are found per query
+        (or the index is exhausted) — a document flooding the beam with its
+        own vectors cannot starve the result of other documents.
         """
-        k_vec = max(k_docs * oversample, k_docs)
-        ef = max(ef, k_vec)
-        dists, labels = self.index.search(
-            queries, k=k_vec, ef=ef, params=SearchParams(k=k_vec, ef=ef)
-        )
-        b = dists.shape[0]
-        out_d = np.full((b, k_docs), np.inf, dtype=np.float32)
-        out_doc = np.full((b, k_docs), -1, dtype=np.int64)
-        for i in range(b):
-            best: dict[int, float] = {}
-            for dist, lab in zip(dists[i], labels[i]):
-                if lab < 0 or not np.isfinite(dist):
-                    continue
-                doc = self._doc_of[int(lab)]
-                if doc not in best or dist < best[doc]:
-                    best[doc] = float(dist)
-            top = sorted(best.items(), key=lambda kv: kv[1])[:k_docs]
-            for j, (doc, dist) in enumerate(top):
-                out_doc[i, j] = doc
-                out_d[i, j] = dist
-        return out_d, out_doc
+        n_vec = self.index.num_elements
+        k_vec = min(max(k_docs * oversample, k_docs), max(n_vec, 1))
+        while True:
+            ef_cur = max(ef, k_vec)
+            dists, labels = self.index.search(
+                queries, k=k_vec, ef=ef_cur,
+                params=SearchParams(k=k_vec, ef=ef_cur),
+            )
+            out_d, out_doc, distinct = self._aggregate(dists, labels, k_docs)
+            want = min(k_docs, self.num_docs)
+            if k_vec >= n_vec or np.all(distinct >= want):
+                return out_d, out_doc
+            k_vec = min(k_vec * 2, n_vec)

@@ -69,3 +69,49 @@ def test_multivector_doc_dist_is_min_over_vectors(rng):
     dd, docs = mv.search(q, k_docs=2, oversample=4)
     assert docs[0, 0] == 7
     assert dd[0, 0] < 1e-3  # min over doc-7's vectors (exact hit on vs[2])
+
+
+def test_doc_flooding_still_returns_k_docs():
+    """searchStopConditionClosest guarantee (hnswalg.h:1327-1378): one
+    document flooding the beam with near-duplicate vectors must not starve
+    the result of other documents."""
+    rng = np.random.default_rng(5)
+    dim = 16
+    idx = MultiVectorIndex("l2", dim, m=8, ef_construction=100)
+    center = rng.normal(size=dim).astype(np.float32)
+    # doc 0: 300 vectors all packed around the query point
+    idx.add_document(0, center + 0.001 * rng.normal(size=(300, dim)).astype(np.float32))
+    # 20 other docs, each a bit farther out
+    for d in range(1, 21):
+        idx.add_document(
+            d, center + (0.1 + 0.01 * d) * rng.normal(size=(3, dim)).astype(np.float32)
+        )
+    q = center[None, :]
+    dd, docs = idx.search(q, k_docs=10, oversample=2)
+    got = [int(v) for v in docs[0] if v >= 0]
+    assert len(got) == 10, f"expected 10 distinct docs, got {got}"
+    assert len(set(got)) == 10
+    assert got[0] == 0  # the flooding doc is still the closest
+    assert np.all(np.diff(dd[0][np.isfinite(dd[0])]) >= -1e-6)
+
+
+def test_epsilon_widen_past_initial_beam():
+    """max_candidates is an independent bound: with far more in-range points
+    than the initial beam, the search widens instead of silently truncating
+    (EpsilonSearchStopCondition, stop_condition.h:218-275)."""
+    rng = np.random.default_rng(6)
+    dim = 8
+    x = rng.normal(size=(2000, dim)).astype(np.float32) * 0.01  # dense ball
+    from hnsw_tpu.models.hnsw import HNSWIndex
+
+    idx = HNSWIndex("l2", dim=dim, m=8, ef_construction=100)
+    idx.add_items(x)
+    q = np.zeros((4, dim), np.float32)
+    # huge epsilon: everything is in range; ask for up to 512
+    d, l, v = epsilon_search(idx, q, epsilon=10.0, max_candidates=512)
+    assert v.sum(axis=1).min() >= 500, v.sum(axis=1)
+    # tight epsilon still respects min_candidates
+    d2, l2, v2 = epsilon_search(
+        idx, q, epsilon=1e-12, min_candidates=3, max_candidates=16
+    )
+    assert (v2.sum(axis=1) >= 3).all()
