@@ -50,11 +50,35 @@ def main():
 
     from hnsw_tpu.core.spaces import L2Space
     from hnsw_tpu.models.bruteforce import BruteforceIndex
-    from hnsw_tpu.models.hnsw import HNSWIndex
+    from hnsw_tpu.models.hnsw import HNSWIndex, inline_search_kwargs
     from hnsw_tpu.ops.traversal import search_batch
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     rng = np.random.default_rng(123)
+
+    if jax.default_backend() == "tpu":
+        # On-TPU kernel parity gate: the pytest suite runs Pallas in CPU
+        # interpret mode, so a Mosaic-only regression (layout, bitcast
+        # orientation, DMA semantics) would otherwise be invisible.
+        from hnsw_tpu.ops.pallas_gather import hop_dist_unified, make_unified_table
+
+        kv = jnp.asarray(rng.normal(size=(256, DIM)).astype(np.float32))
+        lvl = jnp.asarray(rng.integers(0, 255, size=(256, 32)).astype(np.int32))
+        tab = make_unified_table(kv, lvl)
+        qv = jnp.asarray(rng.normal(size=(16, DIM)).astype(np.float32))
+        chosen = jnp.asarray(rng.integers(0, 255, size=(16, 2)).astype(np.int32))
+        dists, idrows = hop_dist_unified(qv, tab, chosen, 32)
+        ids_ref = np.asarray(lvl)[np.asarray(chosen)]  # [16, 2, 32]
+        np.testing.assert_array_equal(
+            np.asarray(idrows)[:, :, :32], ids_ref
+        )
+        rows_bf = np.asarray(kv.astype(jnp.bfloat16).astype(jnp.float32))[ids_ref]
+        d_ref = ((np.asarray(qv)[:, None, None, :] - rows_bf) ** 2).sum(-1)
+        np.testing.assert_allclose(
+            np.asarray(dists).reshape(16, 2, 32), d_ref, rtol=2e-2, atol=1e-2
+        )
+        log("unified-kernel parity: OK")
+
     x = make_dataset(N, DIM, rng)
 
     t0 = time.time()
@@ -79,8 +103,7 @@ def main():
     def run(queries):
         res = search_batch(
             vectors, dg, queries, k=K, ef=EF, space="l2", sq_norms=sq,
-            nbr_vectors=nbr_vec[0] if nbr_vec else None,
-            level0_tiles=nbr_vec[1] if nbr_vec else None,
+            **inline_search_kwargs(nbr_vec),
             expand=EXPAND,
         )
         return res.dists, res.ids

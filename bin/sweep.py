@@ -19,7 +19,7 @@ def main():
 
     from hnsw_tpu.core.spaces import L2Space
     from hnsw_tpu.models.bruteforce import BruteforceIndex
-    from hnsw_tpu.models.hnsw import HNSWIndex
+    from hnsw_tpu.models.hnsw import HNSWIndex, inline_search_kwargs
     from hnsw_tpu.ops.traversal import search_batch
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
@@ -59,8 +59,7 @@ def main():
                 def run():
                     return search_batch(
                         vectors, dg, q, k=10, ef=ef, space="l2", sq_norms=sq,
-                        nbr_vectors=nbr_vec[0] if nbr_vec else None,
-                        level0_tiles=nbr_vec[1] if nbr_vec else None,
+                        **inline_search_kwargs(nbr_vec),
                         expand=e, collect_metrics=True,
                     )
 

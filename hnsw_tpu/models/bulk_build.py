@@ -109,7 +109,7 @@ def bulk_build(
     Returns the HNSWIndex (host engine fully populated: incremental
     insert/update/delete and persistence all work afterwards).
     """
-    from hnsw_tpu.models.hnsw import HNSWIndex
+    from hnsw_tpu.models.hnsw import HNSWIndex, inline_search_kwargs
 
     if isinstance(space, str):
         space = get_space(space, data.shape[1])
@@ -159,7 +159,6 @@ def bulk_build(
         t0 = time.time()
         idx._dirty = True
         dg, x, sq, _, _, nbr_vec = idx._sync_device()
-        nbr, l0t = nbr_vec if nbr_vec is not None else (None, None)
         t_sync = time.time() - t0
         t0 = time.time()
         q_np = data[rows]
@@ -176,8 +175,7 @@ def bulk_build(
             ef=ef_construction,
             space=space.name,
             sq_norms=sq,
-            nbr_vectors=nbr,
-            level0_tiles=l0t,
+            **inline_search_kwargs(nbr_vec),
             expand=2,
             interpret=interpret,
         )

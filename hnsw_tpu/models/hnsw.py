@@ -39,21 +39,21 @@ def _bucket(k: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_inline", "has_sq"),
+    static_argnames=("inline_kind", "has_sq"),
     donate_argnums=(0, 1, 2, 3, 4),
 )
 def _apply_row_deltas(
     x,  # [N_pad, D] vector table (donated)
     sq,  # [N_pad] sq norms or dummy (donated)
     level0,  # [N_pad, m0_pad] (donated)
-    nbr_vec,  # [N_pad, m0_pad, D_pad] inline table or dummy (donated)
+    nbr_vec,  # inline table / unified node-block table / dummy (donated)
     l0_tiles,  # tiled adjacency or dummy (donated)
     new_vecs,  # [Nb, D] appended vectors (zero-padded bucket)
     new_ids,  # [Nb] int32 destination rows (sentinel-padded)
     dirty_ids,  # [Kb] int32 (sentinel-padded bucket)
     dirty_rows,  # [Kb, m0_pad] int32 (sentinel-padded)
     *,
-    use_inline: bool,
+    inline_kind: str,  # "off" | "split" | "unified"
     has_sq: bool,
 ):
     """Apply insert deltas to the device-resident index in place: append new
@@ -70,7 +70,14 @@ def _apply_row_deltas(
             sq = sq.at[new_ids].set(nsq)
     if dirty_ids.shape[0]:
         level0 = level0.at[dirty_ids].set(dirty_rows)
-        if use_inline:
+        if inline_kind == "unified":
+            from hnsw_tpu.ops.pallas_gather import pack_unified_rows
+
+            sent = level0.shape[0] - 1
+            nbr_vec = nbr_vec.at[dirty_ids].set(
+                pack_unified_rows(x, dirty_rows, sent)
+            )
+        elif inline_kind == "split":
             from hnsw_tpu.ops.pallas_gather import make_level0_tiles
 
             l0_tiles = make_level0_tiles(level0)
@@ -84,6 +91,17 @@ def _apply_row_deltas(
                 rows_v.reshape(dirty_ids.shape[0], -1, d_pad)
             )
     return x, sq, level0, nbr_vec, l0_tiles
+
+
+def inline_search_kwargs(nbr_vec) -> dict:
+    """search_batch kwargs for a tagged inline-table tuple:
+    ("unified", table, upper_tables) | ("split", nbr_vectors, level0_tiles)
+    | None."""
+    if nbr_vec is None:
+        return {}
+    if nbr_vec[0] == "unified":
+        return {"unified_table": nbr_vec[1], "upper_tables": nbr_vec[2]}
+    return {"nbr_vectors": nbr_vec[1], "level0_tiles": nbr_vec[2]}
 
 
 @dataclasses.dataclass
@@ -126,12 +144,15 @@ class HNSWIndex:
         # HBM for (bf16) vectors; default on for TPU backends.
         if inline_neighbors is None:
             inline_neighbors = jax.default_backend() == "tpu"
-        if inline_neighbors and 2 * m > 32:
-            # tiled level-0 layout packs a node's ids into one 128-lane row
-            # (make_level0_tiles requires maxM0 <= 32); fall back to the XLA
-            # gather path rather than assert — the reference allows any M.
+        if inline_neighbors and 2 * m > 128:
+            # unified node-block rows carry up to 128 ids per id sublane;
+            # beyond that fall back to the XLA gather path rather than
+            # assert — the reference allows any M.
             inline_neighbors = False
         self.inline_neighbors = inline_neighbors
+        # Unified rows cost ~1.5x the split inline table; above this budget
+        # fall back to the split design (or gathers when maxM0 > 32).
+        self.unified_max_bytes = 10 * 2**30
         from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
 
         self._builder = NativeHNSWBuilder(
@@ -231,17 +252,35 @@ class HNSWIndex:
             if self.space.needs_sq_norms
             else None
         )
+        nbr_vec = None
         if self.inline_neighbors:
             from hnsw_tpu.ops.pallas_gather import (
                 make_inline_neighbors,
                 make_level0_tiles,
+                make_unified_table,
+                make_upper_tables,
+                unified_row_sublanes,
             )
 
-            nbr_vec = jax.block_until_ready(make_inline_neighbors(x, dg.level0))
-            l0_tiles = jax.block_until_ready(jax.jit(make_level0_tiles)(dg.level0))
-            nbr_vec = (nbr_vec, l0_tiles)
-        else:
-            nbr_vec = None
+            m0_pad = dg.level0.shape[1]
+            d_pad = round_up(self.dim, 128)
+            _, s_row = unified_row_sublanes(m0_pad, d_pad)
+            if m0_pad <= 128 and n_pad * s_row * 512 <= self.unified_max_bytes:
+                table = jax.block_until_ready(
+                    jax.jit(make_unified_table)(x, dg.level0)
+                )
+                upper_tabs = (
+                    jax.jit(make_upper_tables)(x, dg.upper, dg.upper_slot)
+                    if dg.max_level > 0
+                    else ()
+                )
+                nbr_vec = ("unified", table, upper_tabs)
+            elif m0_pad <= 32:
+                t = jax.block_until_ready(make_inline_neighbors(x, dg.level0))
+                l0_tiles = jax.block_until_ready(
+                    jax.jit(make_level0_tiles)(dg.level0)
+                )
+                nbr_vec = ("split", t, l0_tiles)
         deleted = np.zeros(n_pad, dtype=bool)
         deleted[:n] = self._builder.export_deleted().astype(bool)
         labels_np = np.full(n_pad, -1, dtype=np.int64)
@@ -307,11 +346,14 @@ class HNSWIndex:
             new_vecs[:n_new] = b.export_vectors_range(old_n, n_new)
             new_ids[:n_new] = np.arange(old_n, n, dtype=np.int32)
 
-        use_inline = nbr_vec is not None
-        nv, l0t = nbr_vec if use_inline else (
-            jnp.zeros((1, 1, 1), jnp.bfloat16),
-            jnp.zeros((1, 1, 1), jnp.int32),
-        )
+        kind = "off" if nbr_vec is None else nbr_vec[0]
+        dummy_t = jnp.zeros((1, 1, 1), jnp.int32)
+        if kind == "unified":
+            nv, l0t = nbr_vec[1], dummy_t
+        elif kind == "split":
+            nv, l0t = nbr_vec[1], nbr_vec[2]
+        else:
+            nv, l0t = jnp.zeros((1, 1, 1), jnp.bfloat16), dummy_t
         x, sq2, level0, nv, l0t = _apply_row_deltas(
             x,
             sq if sq is not None else jnp.zeros((1,), jnp.float32),
@@ -322,11 +364,16 @@ class HNSWIndex:
             jnp.asarray(new_ids),
             jnp.asarray(dirty_ids),
             jnp.asarray(rows),
-            use_inline=use_inline,
+            inline_kind=kind,
             has_sq=sq is not None,
         )
         sq = sq2 if sq is not None else None
-        nbr_vec = (nv, l0t) if use_inline else None
+        if kind == "unified":
+            nbr_vec = ("unified", nv)
+        elif kind == "split":
+            nbr_vec = ("split", nv, l0t)
+        else:
+            nbr_vec = None
 
         if n_new:
             labels_np = labels_np.copy()
@@ -347,6 +394,16 @@ class HNSWIndex:
             lab_dev[:n] = labels_np[:n]
             rep["labels"] = jnp.asarray(lab_dev)
         dg = dataclasses.replace(dg, **rep)
+        if kind == "unified" and (flags & 1) and dg.max_level > 0:
+            # upper tables reference upper adjacency + vectors: rebuild
+            # (small, ~N/M rows) after both were updated
+            from hnsw_tpu.ops.pallas_gather import make_upper_tables
+
+            nbr_vec = (
+                "unified",
+                nbr_vec[1],
+                jax.jit(make_upper_tables)(x, dg.upper, dg.upper_slot),
+            )
         self._device = (dg, x, sq, deleted, labels_np, nbr_vec)
         self._synced_n = n
         return True
@@ -420,8 +477,7 @@ class HNSWIndex:
                     [np.asarray(entry_ids), np.zeros(b_pad - b0, np.int32)]
                 ).astype(np.int32)
             ),
-            nbr_vectors=None if nbr_vec is None else nbr_vec[0],
-            level0_tiles=None if nbr_vec is None else nbr_vec[1],
+            **inline_search_kwargs(nbr_vec),
             expand=params.expand,
             max_iters=params.max_iters,
             collect_metrics=params.collect_metrics,

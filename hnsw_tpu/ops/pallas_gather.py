@@ -234,6 +234,216 @@ def extract_level0_ids(id_tiles: Array, chosen: Array, m0: int) -> Array:
     return ids[:, :, :m0].reshape(b, e * m0)
 
 
+# ---------------------------------------------------------------------------
+# Unified node-block rows: ids + bf16-packed neighbor vectors in ONE DMA per
+# expansion (halves the descriptor count vs the split inline-table + id-tile
+# design; descriptor issue is the loop's bound at ~100ns each). Verified on
+# v5e: pltpu.bitcast(int32[..., s, 128] -> bf16) unpacks sublane i into bf16
+# sublanes 2i (low half) / 2i+1 (high half), the exact inverse of
+# lax.bitcast_convert_type packing pairs along a trailing axis.
+# ---------------------------------------------------------------------------
+
+
+def unified_row_sublanes(m0: int, d_pad: int) -> tuple[int, int]:
+    """(vector sublanes sv, total row sublanes) of a unified node block:
+    sv int32 sublanes of packed bf16 vectors + 1 id sublane, padded to the
+    int32 tile height (8). Requires m0*d_pad % 256 == 0 and m0 <= 128."""
+    assert m0 * d_pad % 256 == 0 and m0 <= 128
+    sv = m0 * d_pad // 256
+    return sv, -(-(sv + 1) // 8) * 8
+
+
+def pack_unified_rows(
+    vectors: Array, nbr_ids: Array, sent: int, id_payload: Array | None = None
+) -> Array:
+    """Pack neighbor blocks [K, m0] -> unified rows [K, S_row, 128] int32:
+    sublanes 0..sv-1 hold the m0 neighbors' bf16 vectors (P1 pair packing),
+    sublane sv holds the m0 neighbor ids (sentinel-padded to 128 lanes).
+
+    `id_payload` optionally substitutes what the id sublane carries (the
+    upper-level tables store neighbor *slots* there while the vectors still
+    come from node ids)."""
+    k, m0 = nbr_ids.shape
+    d = vectors.shape[1]
+    d_pad = -(-d // 128) * 128
+    sv, s_row = unified_row_sublanes(m0, d_pad)
+    rows = jnp.take(vectors, nbr_ids.reshape(-1), axis=0).astype(jnp.bfloat16)
+    if d_pad != d:
+        rows = jnp.pad(rows, ((0, 0), (0, d_pad - d)))
+    pairs = rows.reshape(k, sv, 2, 128).transpose(0, 1, 3, 2)  # [K, sv, 128, 2]
+    packed = jax.lax.bitcast_convert_type(pairs, jnp.int32)  # [K, sv, 128]
+    payload = nbr_ids if id_payload is None else id_payload
+    ids_row = jnp.pad(
+        payload.astype(jnp.int32), ((0, 0), (0, 128 - m0)), constant_values=sent
+    )[:, None, :]
+    pad = jnp.zeros((k, s_row - sv - 1, 128), jnp.int32)
+    return jnp.concatenate([packed, ids_row, pad], axis=1)
+
+
+def make_upper_tables(
+    vectors: Array, upper: Array, upper_slot: Array
+) -> tuple[tuple[Array, Array], ...]:
+    """Per-upper-level unified tables for the inline greedy descent.
+
+    For level l (1-indexed), row `slot` packs that slot's node's M neighbor
+    vectors plus the neighbors' *slots at the same level* in the id sublane
+    (so the descent loop never touches upper_slot mid-level; the round-1
+    design did one serialized XLA row gather per hop, ~9% of query time).
+    Returns ((table_l [U_pad, S_row, 128], slot_to_id_l [U_pad]), ...).
+    """
+    ml, u_pad, m = upper.shape
+    n_pad = upper_slot.shape[1]
+    sent = n_pad - 1
+    m_pad = max(16, -(-m // 16) * 16)
+    out = []
+    for l in range(ml):
+        nbrs = upper[l]  # [U_pad, M] node ids (sent = absent)
+        if m_pad != m:
+            nbrs = jnp.pad(nbrs, ((0, 0), (0, m_pad - m)), constant_values=sent)
+        # neighbor slots at this level; the sentinel id maps to the dummy
+        # slot u_pad-1 by construction of upper_slot
+        nbr_slots = jnp.take(upper_slot[l], nbrs, axis=0)
+        tab = pack_unified_rows(vectors, nbrs, u_pad - 1, id_payload=nbr_slots)
+        # slot -> node id (dummy slot stays sentinel)
+        ids = jnp.full((u_pad,), sent, jnp.int32)
+        ids = ids.at[upper_slot[l]].set(
+            jnp.arange(n_pad, dtype=jnp.int32)
+        )
+        ids = ids.at[u_pad - 1].set(sent)
+        out.append((tab, ids))
+    return tuple(out)
+
+
+def make_unified_table(vectors: Array, level0: Array) -> Array:
+    """[N_pad, S_row, 128] int32 unified node-block table from the vector
+    table and the (sentinel-remapped) level-0 adjacency."""
+    n_pad = level0.shape[0]
+    return pack_unified_rows(vectors, level0, n_pad - 1)
+
+
+def _hop_dist_unified_kernel(
+    chosen_ref,  # SMEM scalar-prefetch [ceil(B*E/128), 128]
+    q_ref,  # VMEM [tb, d_pad]
+    tbl_ref,  # ANY/HBM [N_pad, S_row, 128] int32
+    out_ref,  # VMEM [tb, e*m0] f32
+    ids_ref,  # VMEM [tb, e, 128] int32
+    rows,  # VMEM scratch [2, tb*e, S_row, 128] int32 (double-buffered)
+    sems,  # DMA sems [2]
+    *,
+    tb,
+    e,
+    m0,
+    sv,
+    d_pad,
+    ip,
+):
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    em = e * m0
+
+    def issue(s, buf):
+        base = s * tb * e
+        for t in range(tb):
+            for j in range(e):
+                f = base + t * e + j
+                c = chosen_ref[f // 128, f % 128]
+                pltpu.make_async_copy(
+                    tbl_ref.at[c], rows.at[buf, t * e + j], sems.at[buf]
+                ).start()
+
+    @pl.when(step == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(step + 1 < nsteps)
+    def _():
+        issue(step + 1, (step + 1) % 2)
+
+    buf = step % 2
+    pltpu.make_async_copy(tbl_ref.at[0], rows.at[buf], sems.at[buf]).wait()
+    blk = rows[buf]  # [tb*e, S_row, 128]
+    ids_ref[...] = blk[:, sv, :].reshape(tb, e, 128)
+    vecs = pltpu.bitcast(blk[:, :sv, :], jnp.bfloat16)  # [tb*e, 2*sv, 128]
+    r32 = vecs.reshape(tb, em, d_pad).astype(jnp.float32)
+    q32 = q_ref[:].astype(jnp.float32)[:, None, :]  # [tb, 1, d_pad]
+    if ip:
+        out_ref[:] = 1.0 - jnp.sum(r32 * q32, axis=-1)
+    else:
+        diff = r32 - q32
+        out_ref[:] = jnp.sum(diff * diff, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("space", "m0", "tb", "interpret"))
+def hop_dist_unified(
+    q: Array,  # [B, D]
+    table: Array,  # [N_pad, S_row, 128] int32 unified node blocks
+    chosen: Array,  # [B, E] int32 node ids to expand (in-range)
+    m0: int,
+    space: str = "l2",
+    tb: int = 16,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """Expand `chosen` nodes with ONE contiguous DMA per (query, chosen):
+    the unified row carries both the m0 neighbor vectors (bf16-packed) and
+    their ids, so the split design's second id-tile DMA and its one-hot
+    extraction disappear.
+
+    Returns (dists [B, E*M0] f32, ids [B, E, 128] int32 — neighbor ids in
+    lanes 0..m0-1)."""
+    b, d = q.shape
+    e = chosen.shape[1]
+    s_row = table.shape[1]
+    d_pad = -(-d // 128) * 128
+    sv, s_expected = unified_row_sublanes(m0, d_pad)
+    assert s_row == s_expected, (s_row, s_expected)
+    if d_pad != d:
+        q = jnp.pad(q, ((0, 0), (0, d_pad - d)))
+    tb = min(tb, b)
+    while b % tb != 0 and tb > 8:
+        tb //= 2
+    assert tb >= 8 and b % tb == 0, f"batch {b} must be a multiple of tb>=8"
+    grid = (b // tb,)
+    flat = chosen.reshape(-1)
+    p = -(-flat.shape[0] // 128)
+    flat = jnp.pad(flat, (0, p * 128 - flat.shape[0]))
+    chosen_packed = flat.reshape(p, 128)
+    kernel = functools.partial(
+        _hop_dist_unified_kernel,
+        tb=tb, e=e, m0=m0, sv=sv, d_pad=d_pad, ip=space == "ip",
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tb, d_pad), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (tb, e * m0), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (tb, e, 128), lambda i, ids: (i, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, tb * e, s_row, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, e * m0), jnp.float32),
+            jax.ShapeDtypeStruct((b, e, 128), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(chosen_packed, q, table)
+
+
 def make_inline_neighbors(
     vectors: Array, level0: Array, dtype=jnp.bfloat16
 ) -> Array:

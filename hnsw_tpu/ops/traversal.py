@@ -98,6 +98,47 @@ def _greedy_descent_level(
     return cur, cur_d
 
 
+def _greedy_descent_inline(
+    q, table, cur_slot, cur_d, u_pad, m_pad, space, interpret
+):
+    """Batched greedy 1-best walk on one upper level through the unified
+    node-block table (ONE DMA per query per hop instead of M serialized XLA
+    row gathers): the table row carries the slot's M neighbor vectors and
+    the neighbors' slots at the same level. Queries parked on the dummy slot
+    (u_pad-1, e.g. an entry override absent at this level) see only invalid
+    neighbors and terminate immediately."""
+    from hnsw_tpu.ops.pallas_gather import hop_dist_unified
+
+    dummy = u_pad - 1
+
+    def cond(state):
+        _, _, improved = state
+        return jnp.any(improved)
+
+    def body(state):
+        cur_slot, cur_d, _ = state
+        d, idrows = hop_dist_unified(
+            q, table, cur_slot[:, None], m_pad, space, interpret=interpret
+        )  # d [B, m_pad], idrows [B, 1, 128] of neighbor slots
+        slots = idrows[:, 0, :m_pad]
+        valid = slots < dummy
+        d = jnp.where(valid, d, _INF)
+        best = jnp.argmin(d, axis=-1)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) == best[:, None]
+        )
+        best_d = jnp.min(d, axis=-1)
+        best_slot = jnp.sum(jnp.where(onehot, slots, 0), axis=-1)
+        improved = best_d < cur_d
+        cur_slot = jnp.where(improved, best_slot, cur_slot)
+        cur_d = jnp.where(improved, best_d, cur_d)
+        return cur_slot, cur_d, improved
+
+    init = (cur_slot, cur_d, jnp.ones(cur_slot.shape, dtype=bool))
+    cur_slot, cur_d, _ = jax.lax.while_loop(cond, body, init)
+    return cur_slot, cur_d
+
+
 # ---------------------------------------------------------------------------
 # Level-0 batched beam search (reference: hnswalg.h:311-440).
 # ---------------------------------------------------------------------------
@@ -185,6 +226,8 @@ def search_batch(
     entry_ids: Array | None = None,  # [B] int32 per-query entry override
     nbr_vectors: Array | None = None,  # [N_pad, maxM0, D] inline table (fast path)
     level0_tiles: Array | None = None,  # [N_pad/32, 8, 128] tiled adjacency
+    unified_table: Array | None = None,  # [N_pad, S_row, 128] unified node blocks
+    upper_tables: tuple | None = None,  # ((table_l, slot_to_id_l), ...) per level
     expand: int = 1,
     max_iters: int = 0,  # 0 => default 2*ef + 16
     hist_len: int = 0,  # 0 => default ef
@@ -231,18 +274,36 @@ def search_batch(
     cur_d = jnp.where(ent_ok, cur_d, _INF)
 
     # ---- upper layers (static python loop over levels) --------------------
-    for level in range(graph.max_level, 0, -1):
-        cur, cur_d = _greedy_descent_level(
-            q,
-            vectors,
-            sq_norms,
-            graph.upper[level - 1],
-            graph.upper_slot[level - 1],
-            cur,
-            cur_d,
-            num_nodes,
-            space,
-        )
+    if upper_tables is not None and graph.max_level > 0:
+        top = graph.max_level
+        m_up = graph.upper.shape[2]
+        m_pad = max(16, -(-m_up // 16) * 16)  # packer's column padding
+        cur_slot = jnp.take(graph.upper_slot[top - 1], cur, axis=0)
+        for level in range(top, 0, -1):
+            tab, slot_ids = upper_tables[level - 1]
+            u_pad = slot_ids.shape[0]
+            nxt_slot, nxt_d = _greedy_descent_inline(
+                q, tab, cur_slot, cur_d, u_pad, m_pad, space, interpret
+            )
+            cur_slot, cur_d = nxt_slot, nxt_d
+            nid = jnp.take(slot_ids, jnp.minimum(cur_slot, u_pad - 1), axis=0)
+            # a query parked on the dummy slot keeps its previous node
+            cur = jnp.where(cur_slot >= u_pad - 1, cur, nid)
+            if level > 1:
+                cur_slot = jnp.take(graph.upper_slot[level - 2], cur, axis=0)
+    else:
+        for level in range(graph.max_level, 0, -1):
+            cur, cur_d = _greedy_descent_level(
+                q,
+                vectors,
+                sq_norms,
+                graph.upper[level - 1],
+                graph.upper_slot[level - 1],
+                cur,
+                cur_d,
+                num_nodes,
+                space,
+            )
 
     # ---- level-0 beam ------------------------------------------------------
     beam_d = jnp.full((b, ef), _INF)
@@ -283,9 +344,18 @@ def search_batch(
         new_exp = jnp.any(onehot, axis=1)  # [B, ef]
         beam_key2 = st.beam_key | new_exp.astype(jnp.int32)
 
-        # Fetch neighbor ids + distances. Fast path: one Pallas call per hop
-        # (contiguous DMAs for both), ids extracted with one-hot reduces.
-        if nbr_vectors is not None:
+        # Fetch neighbor ids + distances. Fastest path: ONE DMA per expansion
+        # from the unified node-block table (ids + bf16 vectors in one row).
+        if unified_table is not None:
+            from hnsw_tpu.ops.pallas_gather import hop_dist_unified
+
+            d, idrows = hop_dist_unified(
+                q, unified_table, chosen, max_m0, space, interpret=interpret
+            )
+            nbrs = idrows[:, :, :max_m0].reshape(b, em)
+        # Split fast path: one Pallas call per hop (contiguous DMAs for
+        # vectors and the 32-node id tile), ids extracted with one-hot reduces.
+        elif nbr_vectors is not None:
             from hnsw_tpu.ops.pallas_gather import (
                 extract_level0_ids,
                 hop_dist_inline,
