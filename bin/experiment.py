@@ -96,13 +96,14 @@ def calculate_recall(found, truth):
     return len(set(found) & set(truth)) / max(len(truth), 1)
 
 
-def run_experiment(sizes, dim, optimized, do_recall, do_mem, m, ef_c, n_search, k=20, ef=200):
+def run_experiment(sizes, dim, optimized, do_recall, do_mem, m, ef_c, n_search,
+                   k=20, ef=200, native=False):
     mode = "optimized" if optimized else "baseline"
     results = {"mode": mode, "sizes": [], "recall": {}, "memory": {}}
     py = sys.executable
 
     for n in sizes:
-        print(f"=== N={n} mode={mode} ===", flush=True)
+        print(f"=== N={n} mode={mode}{' (native)' if native else ''} ===", flush=True)
         clean_data()
         db = os.path.join(DATA_DIR, "store.log")
         graph = os.path.join(DATA_DIR, "index.npz")
@@ -112,18 +113,31 @@ def run_experiment(sizes, dim, optimized, do_recall, do_mem, m, ef_c, n_search, 
             check=True, cwd=REPO,
         )
 
-        sp = subprocess.Popen(
-            [py, "-m", "hnsw_tpu.service.storage_service", db, "18081"], cwd=REPO
-        )
-        qs_args = [
-            py, "-m", "hnsw_tpu.service.query_service", "--port", "18080",
-            "--storage", "http://127.0.0.1:18081", "--dim", str(dim),
-            "--ef", str(ef), "--k", str(k),
-        ]
-        if optimized:
-            qs_args += ["--graph", graph + ".adj", "--optimized", "1"]
+        if native:
+            # compiled C++ frontends (reference parity: both reference
+            # services are native executables with a RLIMIT_AS self-cap)
+            from hnsw_tpu.native import build_binary
+
+            sp = subprocess.Popen([build_binary("storage_main"), db, "18081"])
+            qs_args = [
+                build_binary("query_main"), "--graph", graph + ".adj",
+                "--storage", "http://127.0.0.1:18081", "--port", "18080",
+                "--dim", str(dim), "--ef", str(ef), "--k", str(k),
+                "--optimized", "1" if optimized else "0",
+            ]
         else:
-            qs_args += ["--graph", graph]
+            sp = subprocess.Popen(
+                [py, "-m", "hnsw_tpu.service.storage_service", db, "18081"], cwd=REPO
+            )
+            qs_args = [
+                py, "-m", "hnsw_tpu.service.query_service", "--port", "18080",
+                "--storage", "http://127.0.0.1:18081", "--dim", str(dim),
+                "--ef", str(ef), "--k", str(k),
+            ]
+            if optimized:
+                qs_args += ["--graph", graph + ".adj", "--optimized", "1"]
+            else:
+                qs_args += ["--graph", graph]
         try:
             wait_ready("http://127.0.0.1:18081/info", sp)
             qp = subprocess.Popen(qs_args, cwd=REPO)
@@ -132,12 +146,23 @@ def run_experiment(sizes, dim, optimized, do_recall, do_mem, m, ef_c, n_search, 
                 storage = "http://127.0.0.1:18081"
                 query = "http://127.0.0.1:18080"
 
+                def check_alive():
+                    # crash polling during query phases (reference
+                    # experiment.py:173-175,244-246,263-267)
+                    for name, p in (("storage", sp), ("query", qp)):
+                        if p.poll() is not None:
+                            raise RuntimeError(
+                                f"{name} service died mid-phase "
+                                f"(rc={p.returncode})"
+                            )
+
                 if do_recall:
                     ids, vecs = fetch_all_vectors_numpy(storage, dim)
                     rng = np.random.default_rng(7)
                     sample = rng.integers(0, n, size=10)
                     recalls = []
                     for qi in sample:
+                        check_alive()
                         truth = get_ground_truth_numpy(vecs, vecs[qi], k, exclude=qi)
                         resp = http_json(
                             f"{query}/search",
@@ -152,6 +177,7 @@ def run_experiment(sizes, dim, optimized, do_recall, do_mem, m, ef_c, n_search, 
                     rng = np.random.default_rng(8)
                     rss = []
                     for _ in range(n_search):
+                        check_alive()
                         qv = rng.normal(size=dim).astype(np.float32)
                         http_json(f"{query}/search", {"query": qv.tolist(), "k": k})
                         rss.append(http_json(f"{query}/mem")["rss_kb"])
@@ -235,16 +261,21 @@ def main():
     ap.add_argument("--M", type=int, default=16)
     ap.add_argument("--ef_construction", type=int, default=200)
     ap.add_argument("--n_search", type=int, default=20)
+    ap.add_argument(
+        "--native", action="store_true",
+        help="drive the compiled C++ service frontends instead of the "
+             "Python/TPU services",
+    )
     args = ap.parse_args()
 
     run_experiment(
         args.sizes, args.dim, False, args.recall, not args.no_mem,
-        args.M, args.ef_construction, args.n_search,
+        args.M, args.ef_construction, args.n_search, native=args.native,
     )
     if args.opt:
         run_experiment(
             args.sizes, args.dim, True, args.recall, not args.no_mem,
-            args.M, args.ef_construction, args.n_search,
+            args.M, args.ef_construction, args.n_search, native=args.native,
         )
         calculate_memory_reduction()
 

@@ -1,0 +1,133 @@
+"""North-star-scale validation: 1M-point index, ef sweep, recall vs the
+exact oracle (BASELINE.md: SIFT1M recall@10 >= 0.95, >= 10x single-core CPU
+QPS per chip; methodology anchor: reference bin/experiment.py:160-234).
+
+SIFT1M itself is not retrievable in this environment (no egress), so the
+dataset is 1M clustered-Gaussian synthetic (SIFT-like cluster structure;
+limitation recorded in the output JSON). Writes res/sweep_1m.json.
+
+Usage: python bin/sweep1m.py [N] [out.json]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hnsw_tpu.core.spaces import L2Space
+    from hnsw_tpu.models.bruteforce import BruteforceIndex
+    from hnsw_tpu.models.bulk_build import bulk_build
+    from hnsw_tpu.models.hnsw import inline_search_kwargs
+    from hnsw_tpu.ops.traversal import search_batch
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "res/sweep_1m.json"
+    dim, m, ef_c, k = 128, 16, 200, 10
+    nq = 1024
+
+    rng = np.random.default_rng(7)
+    print(f"dataset: N={n} d={dim} (clustered gaussian, 4096 clusters)", flush=True)
+    centers = rng.normal(size=(4096, dim)).astype(np.float32)
+    x = centers[rng.integers(0, 4096, n)] + 0.5 * rng.normal(
+        size=(n, dim)
+    ).astype(np.float32)
+
+    t0 = time.time()
+    idx = bulk_build(x, space="l2", m=m, ef_construction=ef_c, verbose=True)
+    build_s = time.time() - t0
+    print(f"bulk_build: {build_s:.0f}s ({n/build_s:.0f} inserts/s)", flush=True)
+
+    # queries + exact ground truth (streamed MXU bruteforce)
+    q = x[rng.integers(0, n, nq)] + 0.05 * rng.normal(size=(nq, dim)).astype(
+        np.float32
+    )
+    oracle = BruteforceIndex(L2Space(dim))
+    oracle.add_items(x, np.arange(n))
+    t0 = time.time()
+    _, gt = oracle.search_knn(q, k)
+    print(f"oracle GT ({nq} queries): {time.time()-t0:.0f}s", flush=True)
+    del oracle
+
+    idx.growth_headroom = 0.0
+    t0 = time.time()
+    dg, vectors, sq, _, labels_np, nbr_vec = idx._sync_device()
+    kind = None if nbr_vec is None else nbr_vec[0]
+    print(f"device sync ({kind} tables): {time.time()-t0:.0f}s", flush=True)
+
+    qd = jnp.asarray(q)
+    batch = nq
+    results = []
+    for ef in (10, 20, 50, 100, 200, 300, 500):
+        def run():
+            return search_batch(
+                vectors, dg, qd, k=k, ef=max(ef, k), space="l2", sq_norms=sq,
+                **inline_search_kwargs(nbr_vec), expand=2,
+            )
+
+        from hnsw_tpu.utils.retry import device_retry
+
+        def warm():
+            r = run()
+            r.dists.block_until_ready()
+            return r
+
+        r = device_retry(warm, attempts=5, base_sleep=15, log=print)
+        t0 = time.time()
+        iters = 4
+        for _ in range(iters):
+            r = run()
+        r.dists.block_until_ready()
+        dt = (time.time() - t0) / iters
+        got = labels_np[np.minimum(np.asarray(r.ids), len(labels_np) - 1)]
+        got = np.where(np.isfinite(np.asarray(r.dists)), got, -1)
+        rec = float(
+            np.mean([len(set(got[i]) & set(gt[i])) / k for i in range(nq)])
+        )
+        qps = batch / dt
+        print(f"ef={ef:>4}  recall@{k}={rec:.4f}  {qps:>9.0f} qps", flush=True)
+        results.append({"ef": ef, "recall_at_10": round(rec, 4), "qps": round(qps, 1)})
+
+    # single-core CPU baseline at ef=200 on the same graph
+    t0 = time.time()
+    idx.search_cpu(q[:256], k=k, ef=200)
+    cpu_qps = 256 / (time.time() - t0)
+    print(f"CPU single-core @ef=200: {cpu_qps:.0f} qps", flush=True)
+
+    out = {
+        "config": {
+            "N": n, "dim": dim, "M": m, "ef_construction": ef_c, "k": k,
+            "dataset": "clustered-gaussian-4096c (SIFT1M not retrievable: "
+                       "no network egress in this environment)",
+            "hardware": "TPU v5e (1 chip)",
+            "inline_tables": kind,
+            "build_s": round(build_s, 1),
+            "cpu_single_core_qps_ef200": round(cpu_qps, 1),
+        },
+        "sweep": results,
+        "gate": {
+            "recall@10 >= 0.95 at some ef": any(
+                r["recall_at_10"] >= 0.95 for r in results
+            ),
+            "10x cpu at ef=200": next(
+                r["qps"] for r in results if r["ef"] == 200
+            ) >= 10 * cpu_qps,
+        },
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["gate"]), flush=True)
+    print(f"wrote {out_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -155,10 +155,15 @@ def bulk_build(
     k_sel = min(select_c, ef_construction)
 
     def wave_link(rows, ids):
+        from hnsw_tpu.utils.retry import device_retry
+
         cnt = len(rows)
         t0 = time.time()
         idx._dirty = True
-        dg, x, sq, _, _, nbr_vec = idx._sync_device()
+        dg, x, sq, _, _, nbr_vec = device_retry(
+            idx._sync_device, attempts=5, base_sleep=15,
+            log=print if verbose else None,
+        )
         t_sync = time.time() - t0
         t0 = time.time()
         q_np = data[rows]
@@ -167,22 +172,32 @@ def bulk_build(
             q_np = np.concatenate(
                 [q_np, np.zeros((b_pad - cnt, data.shape[1]), np.float32)]
             )
-        res = search_batch(
-            x,
-            dg,
-            jnp.asarray(q_np),
-            k=k_sel,
-            ef=ef_construction,
-            space=space.name,
-            sq_norms=sq,
-            **inline_search_kwargs(nbr_vec),
-            expand=2,
-            interpret=interpret,
+
+        def device_step():
+            res = search_batch(
+                x,
+                dg,
+                jnp.asarray(q_np),
+                k=k_sel,
+                ef=ef_construction,
+                space=space.name,
+                sq_norms=sq,
+                **inline_search_kwargs(nbr_vec),
+                expand=2,
+                interpret=interpret,
+            )
+            sel = select_neighbors_device(
+                x, res.ids[:cnt], res.dists[:cnt], dg.num_nodes, m, space.name
+            )
+            return np.asarray(jax.device_get(sel))
+
+        # the relay transiently fails steps (spurious RESOURCE_EXHAUSTED /
+        # compile 500s — its capacity accounting is time-varying); the
+        # identical program succeeds on retry, sometimes only after a wait
+        sel_np = device_retry(
+            device_step, attempts=5, base_sleep=15,
+            log=print if verbose else None,
         )
-        sel = select_neighbors_device(
-            x, res.ids[:cnt], res.dists[:cnt], dg.num_nodes, m, space.name
-        )
-        sel_np = np.asarray(jax.device_get(sel))
         t_dev = time.time() - t0
         t0 = time.time()
         b.connect_batch(ids, sel_np)

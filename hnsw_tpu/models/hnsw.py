@@ -82,8 +82,9 @@ def _apply_row_deltas(
 
             l0_tiles = make_level0_tiles(level0)
             d_pad = nbr_vec.shape[-1]
-            rows_v = jnp.take(x, dirty_rows.reshape(-1), axis=0).astype(
-                nbr_vec.dtype
+            # cast-then-gather (a f32 gather temp is 2x the delta size)
+            rows_v = jnp.take(
+                x.astype(nbr_vec.dtype), dirty_rows.reshape(-1), axis=0
             )
             if d_pad != rows_v.shape[-1]:
                 rows_v = jnp.pad(rows_v, ((0, 0), (0, d_pad - rows_v.shape[-1])))
@@ -246,9 +247,11 @@ class HNSWIndex:
         n_pad = round_up(n + 1 + headroom, 128)
         dg = graph_device_arrays(g, n_pad)
         x_np = pad_vectors(self._builder.export_vectors(), n_pad)
-        x = jnp.asarray(x_np, dtype=self.space.storage_dtype)
+        # block each transfer: a transient relay failure must surface HERE
+        # (inside the caller's retry scope), not poison downstream buffers
+        x = jax.block_until_ready(jnp.asarray(x_np, dtype=self.space.storage_dtype))
         sq = (
-            jnp.sum(jnp.asarray(x_np) ** 2, axis=-1)
+            jax.block_until_ready(jnp.sum(jnp.asarray(x_np) ** 2, axis=-1))
             if self.space.needs_sq_norms
             else None
         )
@@ -266,9 +269,9 @@ class HNSWIndex:
             d_pad = round_up(self.dim, 128)
             _, s_row = unified_row_sublanes(m0_pad, d_pad)
             if m0_pad <= 128 and n_pad * s_row * 512 <= self.unified_max_bytes:
-                table = jax.block_until_ready(
-                    jax.jit(make_unified_table)(x, dg.level0)
-                )
+                from hnsw_tpu.ops.pallas_gather import make_unified_table_chunked
+
+                table = make_unified_table_chunked(x, dg.level0)
                 upper_tabs = (
                     jax.jit(make_upper_tables)(x, dg.upper, dg.upper_slot)
                     if dg.max_level > 0

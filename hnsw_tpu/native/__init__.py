@@ -41,6 +41,26 @@ def _build_and_load(name: str) -> ctypes.CDLL:
         return lib
 
 
+def build_binary(name: str) -> str:
+    """Compile native/<name>.cpp to an executable (if stale) and return its
+    path. Used for the native service frontends (storage_main, query_main)."""
+    src = os.path.join(_HERE, f"{name}.cpp")
+    exe = os.path.join(_HERE, f"bin_{name}")
+    deps = [src, os.path.join(_HERE, "httpkit.h"),
+            os.path.join(_HERE, "vecstore.cpp")]
+    newest = max(os.path.getmtime(p) for p in deps if os.path.exists(p))
+    with _LOCK:
+        if not os.path.exists(exe) or os.path.getmtime(exe) < newest:
+            tmp = exe + f".tmp.{os.getpid()}"
+            cmd = [
+                "g++", "-O3", "-march=native", "-std=c++20", "-pthread",
+                "-o", tmp, src,
+            ]
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            os.replace(tmp, exe)
+    return exe
+
+
 def load_vecstore_lib() -> ctypes.CDLL:
     lib = _build_and_load("vecstore")
     c = ctypes

@@ -267,7 +267,8 @@ def pack_unified_rows(
     d = vectors.shape[1]
     d_pad = -(-d // 128) * 128
     sv, s_row = unified_row_sublanes(m0, d_pad)
-    rows = jnp.take(vectors, nbr_ids.reshape(-1), axis=0).astype(jnp.bfloat16)
+    # cast-then-gather: a f32 gather output is 2x the packed size (OOM at 1M)
+    rows = jnp.take(vectors.astype(jnp.bfloat16), nbr_ids.reshape(-1), axis=0)
     if d_pad != d:
         rows = jnp.pad(rows, ((0, 0), (0, d_pad - d)))
     pairs = rows.reshape(k, sv, 2, 128).transpose(0, 1, 3, 2)  # [K, sv, 128, 2]
@@ -319,6 +320,34 @@ def make_unified_table(vectors: Array, level0: Array) -> Array:
     table and the (sentinel-remapped) level-0 adjacency."""
     n_pad = level0.shape[0]
     return pack_unified_rows(vectors, level0, n_pad - 1)
+
+
+def make_unified_table_chunked(
+    vectors: Array, level0: Array, chunk: int = 1 << 17
+) -> Array:
+    """Build the unified table in row chunks with a donated accumulator so
+    peak HBM stays ~table + one chunk (a single-shot build materializes the
+    gathered bf16 rows AND the packed output — 2.5x table size, an OOM at
+    SIFT1M scale where the table alone is ~12GB on 16GB HBM)."""
+    import functools as _ft
+
+    n_pad, m0 = level0.shape
+    d = vectors.shape[1]
+    d_pad = -(-d // 128) * 128
+    _, s_row = unified_row_sublanes(m0, d_pad)
+    sent = n_pad - 1
+
+    @_ft.partial(jax.jit, donate_argnums=(0,), static_argnames=("start",))
+    def upd(tab, x, rows_ids, start):
+        rows = pack_unified_rows(x, rows_ids, sent)
+        return jax.lax.dynamic_update_slice(tab, rows, (start, 0, 0))
+
+    xb = vectors.astype(jnp.bfloat16)  # cast once, not per chunk
+    tab = jnp.zeros((n_pad, s_row, 128), jnp.int32)
+    for s in range(0, n_pad, chunk):
+        e = min(s + chunk, n_pad)
+        tab = upd(tab, xb, level0[s:e], start=s)
+    return jax.block_until_ready(tab)
 
 
 def _hop_dist_unified_kernel(
@@ -450,11 +479,15 @@ def make_inline_neighbors(
     """Build the [N_pad, M0, D_pad] inline neighbor-vector table from the
     vector table and level-0 adjacency (one-time cost at index upload).
     D is zero-padded to a multiple of 128 (DMA lane alignment); zero lanes
-    contribute nothing to either L2 or IP distances."""
+    contribute nothing to either L2 or IP distances.
+
+    The source is cast to the table dtype BEFORE the gather: gathering f32
+    first materializes a 2x-table-size temporary (16GB at N=1M — an HBM OOM
+    on v5e)."""
     n_pad, m0 = level0.shape
     d = vectors.shape[1]
     d_pad = -(-d // 128) * 128
-    rows = jnp.take(vectors, level0.reshape(-1), axis=0).astype(dtype)
+    rows = jnp.take(vectors.astype(dtype), level0.reshape(-1), axis=0)
     if d_pad != d:
         rows = jnp.pad(rows, ((0, 0), (0, d_pad - d)))
     return rows.reshape(n_pad, m0, d_pad)
