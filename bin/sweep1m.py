@@ -42,7 +42,30 @@ def main():
     ).astype(np.float32)
 
     t0 = time.time()
-    idx = bulk_build(x, space="l2", m=m, ef_construction=ef_c, verbose=True)
+    try:
+        idx = bulk_build(x, space="l2", m=m, ef_construction=ef_c, verbose=True)
+    except Exception as exc:
+        print(f"bulk_build failed: {exc}", flush=True)
+        # diagnostics: which device operations still work?
+        for name, fn in (
+            ("tiny transfer 1KB", lambda: jnp.asarray(np.ones(256, np.float32))),
+            ("transfer 2MB", lambda: jnp.asarray(np.ones((4096, 128), np.float32))),
+            ("on-device zeros 2MB", lambda: jnp.zeros((4096, 128), jnp.float32)),
+            ("on-device random 256MB",
+             lambda: jax.random.normal(jax.random.PRNGKey(0), (1 << 26,))),
+        ):
+            try:
+                r = fn()
+                r.block_until_ready()
+                print(f"  diag {name}: OK", flush=True)
+            except Exception as e2:
+                print(f"  diag {name}: FAIL {str(e2)[:100]}", flush=True)
+        live = list(jax.live_arrays())
+        tot = sum(a.nbytes for a in live) / 2**30
+        print(f"  diag live arrays: {len(live)}, {tot:.2f} GiB", flush=True)
+        for a in sorted(live, key=lambda a: -a.nbytes)[:10]:
+            print(f"    {a.shape} {a.dtype} {a.nbytes/2**20:.0f}MiB", flush=True)
+        raise
     build_s = time.time() - t0
     print(f"bulk_build: {build_s:.0f}s ({n/build_s:.0f} inserts/s)", flush=True)
 

@@ -93,6 +93,42 @@ def select_neighbors_device(
     return order[:, :m]
 
 
+def select_neighbors_host(
+    vectors: np.ndarray,  # [N, D] host copy
+    cand_ids: np.ndarray,  # [W, C]
+    cand_d: np.ndarray,  # [W, C]
+    num_nodes: int,
+    m: int,
+    space: str = "l2",
+) -> np.ndarray:
+    """NumPy mirror of select_neighbors_device — the fallback when the TPU
+    relay persistently fails the device select program (observed: spurious
+    RESOURCE_EXHAUSTED that outlives retries). Same getNeighborsByHeuristic2
+    semantics; ~seconds per 16k wave on one core."""
+    w, c = cand_ids.shape
+    safe = np.clip(cand_ids, 0, num_nodes - 1)
+    rows = vectors[safe]  # [W, C, D]
+    g = np.einsum("wcd,wed->wce", rows, rows, optimize=True)
+    if space == "l2":
+        sq = np.einsum("wcd,wcd->wc", rows, rows)
+        pair = np.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * g, 0.0)
+    else:
+        pair = 1.0 - g
+    valid = (cand_ids < num_nodes) & np.isfinite(cand_d)
+    keep = np.zeros((w, c), dtype=bool)
+    count = np.zeros(w, dtype=np.int32)
+    for j in range(c):
+        dj = np.where(keep, pair[:, j, :], np.inf)
+        min_kept = dj.min(axis=-1)
+        ok = valid[:, j] & (count < m) & (min_kept >= cand_d[:, j])
+        keep[:, j] = ok
+        count += ok.astype(np.int32)
+    key = np.where(keep, cand_d, np.inf)
+    order = np.argsort(key, axis=1, kind="stable")
+    sel = np.take_along_axis(np.where(keep, cand_ids, -1), order, axis=1)
+    return sel[:, :m].astype(np.int32)
+
+
 def bulk_build(
     data: np.ndarray,
     labels: np.ndarray | None = None,
@@ -153,6 +189,7 @@ def bulk_build(
     interpret = jax.default_backend() != "tpu"
     wave_size = max(first_wave * 4, 1024)
     k_sel = min(select_c, ef_construction)
+    vectors_host = None  # lazy host copy for the select fallback
 
     def wave_link(rows, ids):
         from hnsw_tpu.utils.retry import device_retry
@@ -173,7 +210,7 @@ def bulk_build(
                 [q_np, np.zeros((b_pad - cnt, data.shape[1]), np.float32)]
             )
 
-        def device_step():
+        def search_step():
             res = search_batch(
                 x,
                 dg,
@@ -186,18 +223,44 @@ def bulk_build(
                 expand=2,
                 interpret=interpret,
             )
+            # materialize so a failure surfaces inside this retry scope
+            return (
+                np.asarray(jax.device_get(res.ids[:cnt])),
+                np.asarray(jax.device_get(res.dists[:cnt])),
+            )
+
+        # the relay transiently fails steps (spurious RESOURCE_EXHAUSTED /
+        # compile 500s); the identical program usually succeeds on retry
+        ids_np, d_np = device_retry(
+            search_step, attempts=4, base_sleep=10,
+            log=print if verbose else None,
+        )
+
+        def select_step():
             sel = select_neighbors_device(
-                x, res.ids[:cnt], res.dists[:cnt], dg.num_nodes, m, space.name
+                x, jnp.asarray(ids_np), jnp.asarray(d_np), dg.num_nodes, m,
+                space.name,
             )
             return np.asarray(jax.device_get(sel))
 
-        # the relay transiently fails steps (spurious RESOURCE_EXHAUSTED /
-        # compile 500s — its capacity accounting is time-varying); the
-        # identical program succeeds on retry, sometimes only after a wait
-        sel_np = device_retry(
-            device_step, attempts=5, base_sleep=15,
-            log=print if verbose else None,
-        )
+        try:
+            sel_np = device_retry(
+                select_step, attempts=2, base_sleep=10,
+                log=print if verbose else None,
+            )
+        except Exception as exc:
+            from hnsw_tpu.utils.retry import is_transient
+
+            if not is_transient(exc):
+                raise
+            if verbose:
+                print("device select persistently failing — host fallback")
+            nonlocal vectors_host
+            if vectors_host is None:
+                vectors_host = b.export_vectors()
+            sel_np = select_neighbors_host(
+                vectors_host, ids_np, d_np, b.size, m, space.name
+            )
         t_dev = time.time() - t0
         t0 = time.time()
         b.connect_batch(ids, sel_np)

@@ -251,7 +251,9 @@ class HNSWIndex:
         # (inside the caller's retry scope), not poison downstream buffers
         x = jax.block_until_ready(jnp.asarray(x_np, dtype=self.space.storage_dtype))
         sq = (
-            jax.block_until_ready(jnp.sum(jnp.asarray(x_np) ** 2, axis=-1))
+            jax.block_until_ready(
+                jnp.sum(x.astype(jnp.float32) * x.astype(jnp.float32), axis=-1)
+            )
             if self.space.needs_sq_norms
             else None
         )

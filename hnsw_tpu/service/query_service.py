@@ -58,21 +58,39 @@ class _Engine:
         x_np = pad_vectors(vectors_np, n_pad)
         self.x = jnp.asarray(x_np)
         self.sq = jnp.sum(self.x * self.x, axis=-1) if space == "l2" else None
-        if jax.default_backend() == "tpu" and graph.max_m0 <= 32:
+        self.inline = None  # tagged tuple, same scheme as HNSWIndex
+        if jax.default_backend() == "tpu":
+            from hnsw_tpu.core.graph import round_up as _ru
             from hnsw_tpu.ops.pallas_gather import (
                 make_inline_neighbors,
                 make_level0_tiles,
+                make_unified_table_chunked,
+                make_upper_tables,
+                unified_row_sublanes,
             )
 
-            self.nbr_vec = jax.block_until_ready(
-                make_inline_neighbors(self.x, self.dg.level0)
-            )
-            self.l0_tiles = jax.block_until_ready(
-                jax.jit(make_level0_tiles)(self.dg.level0)
-            )
-        else:
-            self.nbr_vec = None
-            self.l0_tiles = None
+            m0_pad = self.dg.level0.shape[1]
+            d_pad = _ru(self.dim, 128)
+            if m0_pad <= 128:
+                _, s_row = unified_row_sublanes(m0_pad, d_pad)
+            if m0_pad <= 128 and n_pad * s_row * 512 <= 10 * 2**30:
+                table = make_unified_table_chunked(self.x, self.dg.level0)
+                upper_tabs = (
+                    jax.jit(make_upper_tables)(
+                        self.x, self.dg.upper, self.dg.upper_slot
+                    )
+                    if self.dg.max_level > 0
+                    else ()
+                )
+                self.inline = ("unified", table, upper_tabs)
+            elif m0_pad <= 32:
+                t = jax.block_until_ready(
+                    make_inline_neighbors(self.x, self.dg.level0)
+                )
+                l0t = jax.block_until_ready(
+                    jax.jit(make_level0_tiles)(self.dg.level0)
+                )
+                self.inline = ("split", t, l0t)
         self.labels_np = np.asarray(jax.device_get(self.dg.labels))
         # markDelete semantics (hnswalg.h:853-900): delete-marked elements
         # must never be returned; HNSWIndex.search does this via an eligible
@@ -87,6 +105,7 @@ class _Engine:
     def search(self, queries: np.ndarray, k: int, ef: int, entry_ids=None):
         import jax.numpy as jnp
 
+        from hnsw_tpu.models.hnsw import inline_search_kwargs
         from hnsw_tpu.ops.traversal import search_batch
 
         b0 = queries.shape[0]
@@ -107,8 +126,7 @@ class _Engine:
             space=self.space,
             sq_norms=self.sq,
             entry_ids=ent,
-            nbr_vectors=self.nbr_vec,
-            level0_tiles=self.l0_tiles,
+            **inline_search_kwargs(self.inline),
             expand=2,
             eligible=self.eligible,
             has_mask=self.eligible is not None,
