@@ -41,9 +41,17 @@ def main():
         size=(n, dim)
     ).astype(np.float32)
 
+    # Periodic elastic-recovery checkpoints: the TPU relay occasionally
+    # poisons the whole process with a spurious RESOURCE_EXHAUSTED (every
+    # later device call fails) — the driver restarts us and the build
+    # resumes from the last completed checkpoint instead of from zero.
+    ckpt = os.environ.get("SWEEP1M_CKPT", "/tmp/bulk1m_ckpt")
     t0 = time.time()
     try:
-        idx = bulk_build(x, space="l2", m=m, ef_construction=ef_c, verbose=True)
+        idx = bulk_build(
+            x, space="l2", m=m, ef_construction=ef_c, verbose=True,
+            checkpoint=ckpt, checkpoint_every=4,
+        )
     except Exception as exc:
         print(f"bulk_build failed: {exc}", flush=True)
         # diagnostics: which device operations still work?

@@ -22,6 +22,7 @@ def save_checkpoint(
     vectors: np.ndarray,
     deleted: np.ndarray | None = None,
     meta: dict | None = None,
+    compress: bool = True,
 ) -> None:
     m = dict(meta or {})
     m["format_version"] = FORMAT_VERSION
@@ -29,7 +30,9 @@ def save_checkpoint(
     m["max_level"] = int(g.max_level)
     if deleted is None:
         deleted = np.zeros(g.num_nodes, dtype=np.uint8)
-    np.savez_compressed(
+    # compress=False for large/periodic saves (mid-build elastic-recovery
+    # checkpoints): zlib over ~1GB of float vectors costs minutes on one core
+    (np.savez_compressed if compress else np.savez)(
         path,
         meta=np.frombuffer(json.dumps(m).encode(), dtype=np.uint8),
         level0=g.level0,

@@ -139,12 +139,28 @@ def bulk_build(
     first_wave: int = 4096,
     select_c: int = 64,
     verbose: bool = False,
+    checkpoint: str | None = None,
+    checkpoint_every: int = 4,
 ):
     """Build an HNSWIndex with device-accelerated construction.
 
     Returns the HNSWIndex (host engine fully populated: incremental
     insert/update/delete and persistence all work afterwards).
+
+    `checkpoint`: path prefix for periodic elastic-recovery saves (every
+    `checkpoint_every` completed waves). If `<checkpoint>.npz` +
+    `<checkpoint>.state.json` exist, the build RESUMES from the saved wave
+    cursor — the level sampling is deterministic in `seed`, so the node-id
+    assignment replays exactly. This is how north-star-scale builds survive
+    the TPU relay's occasional process-poisoning failure (a transient
+    RESOURCE_EXHAUSTED after which every device call in the process fails):
+    the caller restarts the process and loses at most `checkpoint_every`
+    waves. Reference failure-handling analog: fetch retry x3
+    (hnsw_graph.cpp:184-209); ours must also survive total process death.
     """
+    import json
+    import os
+
     from hnsw_tpu.models.hnsw import HNSWIndex, inline_search_kwargs
 
     if isinstance(space, str):
@@ -155,11 +171,7 @@ def bulk_build(
         labels = np.arange(n, dtype=np.int64)
     labels = np.asarray(labels, dtype=np.int64)
 
-    idx = HNSWIndex(space, m=m, ef_construction=ef_construction, seed=seed)
-    idx.growth_headroom = 0.0  # N is fixed for the whole build
-    b = idx._builder
     rng = np.random.default_rng(seed)
-
     # 1) pre-sample levels (hnswalg.h:207-211 distribution)
     mult = 1.0 / math.log(m)
     levels = np.floor(-np.log(rng.uniform(size=n)) * mult).astype(np.int32)
@@ -168,18 +180,54 @@ def bulk_build(
     if verbose:
         print(f"bulk_build: {len(hi)} upper nodes (host), {len(lo)} level-0 (device)")
 
-    # host-insert the hierarchy seed (upper-level nodes, ~N/M of the data)
-    t0 = time.time()
-    for i in hi:
-        b.add_with_level(data[i], int(labels[i]), int(levels[i]))
-    if verbose:
-        print(f"  upper phase: {time.time() - t0:.1f}s")
+    state_path = f"{checkpoint}.state.json" if checkpoint else None
+    ckpt_path = f"{checkpoint}.npz" if checkpoint else None
+    resume_pos = resume_wave = None
+    if checkpoint and os.path.exists(state_path) and os.path.exists(ckpt_path):
+        with open(state_path) as f:
+            st = json.load(f)
+        if st.get("n") == n and st.get("seed") == seed and st.get("m") == m:
+            idx = HNSWIndex.load(ckpt_path)
+            idx.growth_headroom = 0.0
+            b = idx._builder
+            resume_pos, resume_wave = st["pos"], st["wave"]
+            if verbose:
+                print(f"  resume: wave cursor pos={resume_pos} of {len(lo)}")
+        elif verbose:
+            print("  checkpoint config mismatch — rebuilding from scratch")
 
-    # 2) register level-0 nodes unlinked (so ALL vectors exist now: the
-    # device vector table uploads once, and per-wave only the touched rows
-    # move through the incremental sync — not the full inline table)
-    first_id = b.register_level0_batch(data[lo], labels[lo])
+    if resume_pos is None:
+        idx = HNSWIndex(space, m=m, ef_construction=ef_construction, seed=seed)
+        idx.growth_headroom = 0.0  # N is fixed for the whole build
+        b = idx._builder
+
+        # host-insert the hierarchy seed (upper-level nodes, ~N/M of the data)
+        t0 = time.time()
+        for i in hi:
+            b.add_with_level(data[i], int(labels[i]), int(levels[i]))
+        if verbose:
+            print(f"  upper phase: {time.time() - t0:.1f}s")
+
+        # 2) register level-0 nodes unlinked (so ALL vectors exist now: the
+        # device vector table uploads once, and per-wave only the touched rows
+        # move through the incremental sync — not the full inline table)
+        first_id = b.register_level0_batch(data[lo], labels[lo])
+    else:
+        first_id = len(hi)
     ids_lo = np.arange(first_id, first_id + len(lo), dtype=np.uint32)
+
+    def save_state(pos, wave):
+        if not checkpoint:
+            return
+        t0 = time.time()
+        # atomic: a crash mid-save must not corrupt the resume point
+        idx.save(ckpt_path + ".tmp.npz", compress=False)
+        os.replace(ckpt_path + ".tmp.npz", ckpt_path)
+        with open(state_path + ".tmp", "w") as f:
+            json.dump({"pos": pos, "wave": wave, "n": n, "seed": seed, "m": m}, f)
+        os.replace(state_path + ".tmp", state_path)
+        if verbose:
+            print(f"  checkpoint @pos={pos}: {time.time() - t0:.1f}s")
 
     # 3) wave linking: first_wave, then fixed-size waves (static shapes ->
     # the search/select programs compile once). Device state is maintained
@@ -270,14 +318,22 @@ def bulk_build(
                 f"link {time.time() - t0:.1f}s"
             )
 
-    pos = 0
-    wave = first_wave
+    pos = resume_pos or 0
+    wave = resume_wave or first_wave
+    if resume_pos is None:
+        save_state(0, first_wave)  # checkpoint the (expensive) upper phase
+    waves_done = 0
     while pos < len(lo):
         cnt = min(wave, len(lo) - pos)
         wave_link(lo[pos : pos + cnt], ids_lo[pos : pos + cnt])
         pos += cnt
         wave = min(wave * 2, wave_size)
+        waves_done += 1
+        if waves_done % checkpoint_every == 0 and pos < len(lo):
+            save_state(pos, wave)
 
     idx.growth_headroom = 1 / 16  # restore post-build insert headroom
     idx._dirty = True
+    if checkpoint:
+        save_state(len(lo), wave)
     return idx

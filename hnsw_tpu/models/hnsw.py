@@ -281,7 +281,20 @@ class HNSWIndex:
                 )
                 nbr_vec = ("unified", table, upper_tabs)
             elif m0_pad <= 32:
-                t = jax.block_until_ready(make_inline_neighbors(x, dg.level0))
+                tab_bytes = n_pad * m0_pad * d_pad * 2
+                if tab_bytes > 2**31:
+                    # single-shot build peaks ~2x table size (gather rows +
+                    # XLA's layout copy) — an HBM-edge OOM at 1M scale that
+                    # can poison the relay process; chunk it instead
+                    from hnsw_tpu.ops.pallas_gather import (
+                        make_inline_neighbors_chunked,
+                    )
+
+                    t = make_inline_neighbors_chunked(x, dg.level0)
+                else:
+                    t = jax.block_until_ready(
+                        make_inline_neighbors(x, dg.level0)
+                    )
                 l0_tiles = jax.block_until_ready(
                     jax.jit(make_level0_tiles)(dg.level0)
                 )
@@ -508,7 +521,7 @@ class HNSWIndex:
     # -- persistence (reference: saveIndex/loadIndex hnswalg.h:685-822 and
     # the .adj export, index_builder/build.cpp:22-107) ----------------------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, compress: bool = True) -> None:
         from hnsw_tpu.io.checkpoint import save_checkpoint
 
         save_checkpoint(
@@ -516,6 +529,7 @@ class HNSWIndex:
             self._builder.export_graph(),
             self._builder.export_vectors(),
             self._builder.export_deleted(),
+            compress=compress,
             meta={
                 "space": self.space.name,
                 "dim": self.dim,
@@ -536,7 +550,10 @@ class HNSWIndex:
         self.dim = meta["dim"]
         self.m = meta["m"]
         self.ef_construction = meta["ef_construction"]
-        self.inline_neighbors = jax.default_backend() == "tpu"
+        self.inline_neighbors = (
+            jax.default_backend() == "tpu" and 2 * self.m <= 128
+        )
+        self.unified_max_bytes = 10 * 2**30
         self._builder = NativeHNSWBuilder.from_graph(
             g, vectors, deleted, space=meta["space"],
             ef_construction=meta["ef_construction"],

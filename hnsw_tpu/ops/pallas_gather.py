@@ -337,16 +337,17 @@ def make_unified_table_chunked(
     _, s_row = unified_row_sublanes(m0, d_pad)
     sent = n_pad - 1
 
-    @_ft.partial(jax.jit, donate_argnums=(0,), static_argnames=("start",))
+    @_ft.partial(jax.jit, donate_argnums=(0,))
     def upd(tab, x, rows_ids, start):
         rows = pack_unified_rows(x, rows_ids, sent)
         return jax.lax.dynamic_update_slice(tab, rows, (start, 0, 0))
 
     xb = vectors.astype(jnp.bfloat16)  # cast once, not per chunk
     tab = jnp.zeros((n_pad, s_row, 128), jnp.int32)
+    # dynamic start: one compiled program for all full chunks (+ the tail)
     for s in range(0, n_pad, chunk):
         e = min(s + chunk, n_pad)
-        tab = upd(tab, xb, level0[s:e], start=s)
+        tab = upd(tab, xb, level0[s:e], jnp.int32(s))
     return jax.block_until_ready(tab)
 
 
@@ -491,6 +492,39 @@ def make_inline_neighbors(
     if d_pad != d:
         rows = jnp.pad(rows, ((0, 0), (0, d_pad - d)))
     return rows.reshape(n_pad, m0, d_pad)
+
+
+def make_inline_neighbors_chunked(
+    vectors: Array, level0: Array, dtype=jnp.bfloat16, chunk: int = 1 << 17
+) -> Array:
+    """make_inline_neighbors with a donated chunk-wise accumulator.
+
+    The single-shot build materializes the gathered rows plus XLA's
+    layout/reshape copy — ~2x table size transiently. At N=1M (table
+    7.6GiB) that peaks ~15.9GiB: right at the v5e HBM edge, where it
+    nondeterministically RESOURCE_EXHAUSTs and (observed on the axon relay)
+    poisons every subsequent transfer in the process. Chunking bounds the
+    peak at table + one ~1GiB chunk."""
+    n_pad, m0 = level0.shape
+    d = vectors.shape[1]
+    d_pad = -(-d // 128) * 128
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def upd(tab, xc, lvl, start):
+        rows = jnp.take(xc, lvl.reshape(-1), axis=0)
+        if d_pad != d:
+            rows = jnp.pad(rows, ((0, 0), (0, d_pad - d)))
+        return jax.lax.dynamic_update_slice(
+            tab, rows.reshape(lvl.shape[0], m0, d_pad), (start, 0, 0)
+        )
+
+    xc = vectors.astype(dtype)  # cast once
+    tab = jnp.zeros((n_pad, m0, d_pad), dtype)
+    # dynamic start: one compiled program for all full chunks (+ the tail)
+    for s in range(0, n_pad, chunk):
+        e = min(s + chunk, n_pad)
+        tab = upd(tab, xc, level0[s:e], jnp.int32(s))
+    return jax.block_until_ready(tab)
 
 
 @functools.partial(jax.jit, static_argnames=("space", "tb", "interpret"))

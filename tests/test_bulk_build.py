@@ -40,6 +40,49 @@ def test_bulk_build_recall_parity(rng):
     assert r_bulk >= 0.9, r_bulk
 
 
+def test_bulk_build_checkpoint_resume(rng, tmp_path, monkeypatch):
+    """Elastic recovery: kill the build mid-wave, resume from the periodic
+    checkpoint, and the finished index must match a straight-through build
+    in size, integrity, and recall."""
+    from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
+
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    ck = str(tmp_path / "b")
+
+    calls = {"n": 0}
+    orig = NativeHNSWBuilder.connect_batch
+
+    def dying_connect(self, ids, sel):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated process death")
+        return orig(self, ids, sel)
+
+    monkeypatch.setattr(NativeHNSWBuilder, "connect_batch", dying_connect)
+    try:
+        bulk_build(
+            x, m=8, ef_construction=64, first_wave=256,
+            checkpoint=ck, checkpoint_every=1,
+        )
+        raise AssertionError("expected simulated death")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(NativeHNSWBuilder, "connect_batch", orig)
+
+    idx = bulk_build(
+        x, m=8, ef_construction=64, first_wave=256,
+        checkpoint=ck, checkpoint_every=1,
+    )
+    assert idx.num_elements == N
+    check_integrity(idx.graph, require_inbound=False)
+    q = x[rng.integers(0, N, 32)]
+    _, labels = idx.search(q, k=1, ef=64)
+    oracle = BruteforceIndex(L2Space(DIM))
+    oracle.add_items(x, np.arange(N))
+    _, gt = oracle.search_knn(q, 1)
+    assert _recall(labels, gt) >= 0.9
+
+
 def test_bulk_build_supports_incremental_after(rng):
     x = rng.normal(size=(800, DIM)).astype(np.float32)
     idx = bulk_build(x, m=8, ef_construction=64, first_wave=256)

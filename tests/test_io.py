@@ -110,3 +110,16 @@ def test_adj_import_searchable(tmp_path):
     res = search_batch(xv, dg, jnp.asarray(x[:8]), k=1, ef=32, space="l2")
     ids = np.asarray(res.ids)[:, 0]
     assert np.mean(ids == np.arange(8)) >= 0.9
+
+
+def test_load_restores_every_init_attribute(tmp_path, rng):
+    """HNSWIndex.load builds the object with __new__ and hand-sets state; a
+    missed attribute only explodes on whatever (possibly TPU-only) path reads
+    it, so pin the full attribute set structurally."""
+    idx = HNSWIndex("l2", dim=16, m=8, ef_construction=50)
+    idx.add_items(rng.normal(size=(64, 16)).astype(np.float32))
+    p = str(tmp_path / "idx.npz")
+    idx.save(p)
+    idx2 = HNSWIndex.load(p)
+    missing = set(idx.__dict__) - set(idx2.__dict__)
+    assert not missing, f"load() misses attributes: {missing}"

@@ -81,3 +81,19 @@ def test_search_inline_interpret_recall(rng):
     agree = np.mean([len(set(ids_i[i]) & set(ids_p[i])) / 5 for i in range(16)])
     assert agree >= 0.9, agree
     assert np.mean(ids_i[:, 0] == np.arange(16)) >= 0.9
+
+
+def test_make_inline_neighbors_chunked_parity(rng):
+    """Chunked (donated-accumulator) build must equal the single-shot table."""
+    import jax.numpy as jnp
+
+    from hnsw_tpu.ops.pallas_gather import (
+        make_inline_neighbors,
+        make_inline_neighbors_chunked,
+    )
+
+    x = jnp.asarray(rng.normal(size=(512, 96)).astype(np.float32))
+    lvl = jnp.asarray(rng.integers(0, 511, size=(512, 8)).astype(np.int32))
+    a = make_inline_neighbors(x, lvl)
+    b = make_inline_neighbors_chunked(x, lvl, chunk=100)  # uneven tail
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
