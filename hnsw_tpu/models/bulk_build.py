@@ -140,22 +140,24 @@ def bulk_build(
     select_c: int = 64,
     verbose: bool = False,
     checkpoint: str | None = None,
-    checkpoint_every: int = 4,
+    checkpoint_every_s: float = 180.0,
 ):
     """Build an HNSWIndex with device-accelerated construction.
 
     Returns the HNSWIndex (host engine fully populated: incremental
     insert/update/delete and persistence all work afterwards).
 
-    `checkpoint`: path prefix for periodic elastic-recovery saves (every
-    `checkpoint_every` completed waves). If `<checkpoint>.npz` +
+    `checkpoint`: path prefix for periodic elastic-recovery saves (at a
+    wave boundary once `checkpoint_every_s` of build work has elapsed since
+    the last save — a 1GB save costs ~40-70s on this disk, so a fixed
+    every-N-waves cadence would dominate late waves). If `<checkpoint>.npz` +
     `<checkpoint>.state.json` exist, the build RESUMES from the saved wave
     cursor — the level sampling is deterministic in `seed`, so the node-id
     assignment replays exactly. This is how north-star-scale builds survive
     the TPU relay's occasional process-poisoning failure (a transient
     RESOURCE_EXHAUSTED after which every device call in the process fails):
-    the caller restarts the process and loses at most `checkpoint_every`
-    waves. Reference failure-handling analog: fetch retry x3
+    the caller restarts the process and loses at most `checkpoint_every_s`
+    of work. Reference failure-handling analog: fetch retry x3
     (hnsw_graph.cpp:184-209); ours must also survive total process death.
     """
     import json
@@ -322,17 +324,26 @@ def bulk_build(
     wave = resume_wave or first_wave
     if resume_pos is None:
         save_state(0, first_wave)  # checkpoint the (expensive) upper phase
-    waves_done = 0
+    # Waves churn large row deltas; with a >10GiB unified table live the
+    # per-wave delta refresh would peak past HBM. Clamp the budget so waves
+    # run on split tables; callers upgrade the finished index for serving
+    # with rebuild_device_tables().
+    from hnsw_tpu.models.hnsw import UNIFIED_WAVE_MAX_BYTES
+
+    serve_unified_budget = idx.unified_max_bytes
+    idx.unified_max_bytes = min(serve_unified_budget, UNIFIED_WAVE_MAX_BYTES)
+    last_save = time.time()
     while pos < len(lo):
         cnt = min(wave, len(lo) - pos)
         wave_link(lo[pos : pos + cnt], ids_lo[pos : pos + cnt])
         pos += cnt
         wave = min(wave * 2, wave_size)
-        waves_done += 1
-        if waves_done % checkpoint_every == 0 and pos < len(lo):
+        if pos < len(lo) and time.time() - last_save > checkpoint_every_s:
             save_state(pos, wave)
+            last_save = time.time()
 
     idx.growth_headroom = 1 / 16  # restore post-build insert headroom
+    idx.unified_max_bytes = serve_unified_budget
     idx._dirty = True
     if checkpoint:
         save_state(len(lo), wave)

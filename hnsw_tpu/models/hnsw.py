@@ -28,6 +28,14 @@ from hnsw_tpu.core.spaces import Space, get_space
 from hnsw_tpu.ops.traversal import SearchResults, search_batch
 
 
+# Unified node-block tables above this budget fall back to the split
+# layout. 13GiB serves a 1M x d=128 x M=16 index from a 16GiB v5e (measured
+# 13.98GiB live, +57% qps over split at ef=200). Builders that churn large
+# row deltas (bulk_build waves) clamp to UNIFIED_WAVE_MAX_BYTES.
+UNIFIED_MAX_BYTES = 13 * 2**30
+UNIFIED_WAVE_MAX_BYTES = 10 * 2**30
+
+
 def _bucket(k: int) -> int:
     """Round a delta size up to a power-of-two bucket so the jitted
     delta-apply program compiles for O(log) distinct shapes, not one per
@@ -153,7 +161,7 @@ class HNSWIndex:
         self.inline_neighbors = inline_neighbors
         # Unified rows cost ~1.5x the split inline table; above this budget
         # fall back to the split design (or gathers when maxM0 > 32).
-        self.unified_max_bytes = 10 * 2**30
+        self.unified_max_bytes = UNIFIED_MAX_BYTES
         from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
 
         self._builder = NativeHNSWBuilder(
@@ -426,6 +434,22 @@ class HNSWIndex:
         self._synced_n = n
         return True
 
+    def rebuild_device_tables(self, unified_max_bytes: int | None = None):
+        """Drop and rebuild all device arrays (optionally with a new unified
+        budget). Use after a bulk build to upgrade the serving tables: waves
+        keep the split layout (their row-delta refresh peaks too high with a
+        12GiB unified table live), but a query-only index wants unified. The
+        old tables are freed BEFORE the rebuild so peak HBM is one table, not
+        both."""
+        import gc
+
+        if unified_max_bytes is not None:
+            self.unified_max_bytes = unified_max_bytes
+        self._device = None
+        gc.collect()  # drop relay-side buffers before allocating the new table
+        self._dirty = True
+        return self._sync_device()
+
     @property
     def device_graph(self) -> DeviceGraph:
         return self._sync_device()[0]
@@ -553,7 +577,7 @@ class HNSWIndex:
         self.inline_neighbors = (
             jax.default_backend() == "tpu" and 2 * self.m <= 128
         )
-        self.unified_max_bytes = 10 * 2**30
+        self.unified_max_bytes = UNIFIED_MAX_BYTES
         self._builder = NativeHNSWBuilder.from_graph(
             g, vectors, deleted, space=meta["space"],
             ef_construction=meta["ef_construction"],

@@ -70,6 +70,46 @@ def _local_graph(a: ShardedIndexArrays) -> DeviceGraph:
     )
 
 
+def _make_sharded_inline_chunked(
+    vecs_dev: jax.Array,  # [S, n_pad, D] sharded on S
+    level0_dev: jax.Array,  # [S, n_pad, m0] sharded on S
+    out_sharding,
+    chunk: int = 1 << 17,
+) -> jax.Array:
+    """Chunked analog of vmap(make_inline_neighbors): per-device transient
+    stays at one [S_local, chunk, m0, d_pad] slab instead of 2x the whole
+    per-shard table (see make_inline_neighbors_chunked for the HBM-edge
+    failure mode this avoids)."""
+    s, n_pad, d = vecs_dev.shape
+    m0 = level0_dev.shape[2]
+    d_pad = round_up(d, 128)
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0,), out_shardings=out_sharding
+    )
+    def upd(tab, xc, lvl, start):
+        def one(x1, l1):
+            rows = jnp.take(x1, l1.reshape(-1), axis=0)
+            if d_pad != d:
+                rows = jnp.pad(rows, ((0, 0), (0, d_pad - d)))
+            return rows.reshape(l1.shape[0], m0, d_pad)
+
+        rows = jax.vmap(one)(xc, lvl)  # [S, chunk, m0, d_pad]
+        return jax.lax.dynamic_update_slice(tab, rows, (0, start, 0, 0))
+
+    xc = jax.jit(
+        lambda v: v.astype(jnp.bfloat16), out_shardings=None
+    )(vecs_dev)
+    tab = jax.jit(
+        lambda: jnp.zeros((s, n_pad, m0, d_pad), jnp.bfloat16),
+        out_shardings=out_sharding,
+    )()
+    for st in range(0, n_pad, chunk):
+        e = min(st + chunk, n_pad)
+        tab = upd(tab, xc, level0_dev[:, st:e], jnp.int32(st))
+    return jax.block_until_ready(tab)
+
+
 def build_sharded_arrays(
     shards: list[tuple["HNSWGraph", np.ndarray]],
     space: Space,
@@ -132,10 +172,19 @@ def build_sharded_arrays(
             make_level0_tiles,
         )
 
-        nbr_vec = jax.jit(
-            jax.vmap(make_inline_neighbors),
-            out_shardings=shard_spec(None, None, None),
-        )(vecs_dev, level0_dev)
+        per_shard_bytes = n_pad * max_m0 * round_up(dim, 128) * 2
+        if per_shard_bytes > 2**31:
+            # single-shot gather transiently peaks ~2x per-shard table size
+            # (HBM-edge OOM at Deep10M-scale shards) — build the [S] tables
+            # chunk-wise over the node axis with a donated accumulator
+            nbr_vec = _make_sharded_inline_chunked(
+                vecs_dev, level0_dev, shard_spec(None, None, None)
+            )
+        else:
+            nbr_vec = jax.jit(
+                jax.vmap(make_inline_neighbors),
+                out_shardings=shard_spec(None, None, None),
+            )(vecs_dev, level0_dev)
         l0_tiles = jax.jit(
             jax.vmap(make_level0_tiles),
             out_shardings=shard_spec(None, None, None),

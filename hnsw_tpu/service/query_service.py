@@ -71,9 +71,11 @@ class _Engine:
 
             m0_pad = self.dg.level0.shape[1]
             d_pad = _ru(self.dim, 128)
+            from hnsw_tpu.models.hnsw import UNIFIED_MAX_BYTES
+
             if m0_pad <= 128:
                 _, s_row = unified_row_sublanes(m0_pad, d_pad)
-            if m0_pad <= 128 and n_pad * s_row * 512 <= 10 * 2**30:
+            if m0_pad <= 128 and n_pad * s_row * 512 <= UNIFIED_MAX_BYTES:
                 table = make_unified_table_chunked(self.x, self.dg.level0)
                 upper_tabs = (
                     jax.jit(make_upper_tables)(
@@ -84,8 +86,16 @@ class _Engine:
                 )
                 self.inline = ("unified", table, upper_tabs)
             elif m0_pad <= 32:
-                t = jax.block_until_ready(
-                    make_inline_neighbors(self.x, self.dg.level0)
+                from hnsw_tpu.ops.pallas_gather import (
+                    make_inline_neighbors_chunked,
+                )
+
+                t = (
+                    make_inline_neighbors_chunked(self.x, self.dg.level0)
+                    if n_pad * m0_pad * d_pad * 2 > 2**31
+                    else jax.block_until_ready(
+                        make_inline_neighbors(self.x, self.dg.level0)
+                    )
                 )
                 l0t = jax.block_until_ready(
                     jax.jit(make_level0_tiles)(self.dg.level0)

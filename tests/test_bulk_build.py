@@ -62,7 +62,7 @@ def test_bulk_build_checkpoint_resume(rng, tmp_path, monkeypatch):
     try:
         bulk_build(
             x, m=8, ef_construction=64, first_wave=256,
-            checkpoint=ck, checkpoint_every=1,
+            checkpoint=ck, checkpoint_every_s=0.0,
         )
         raise AssertionError("expected simulated death")
     except RuntimeError:
@@ -71,7 +71,7 @@ def test_bulk_build_checkpoint_resume(rng, tmp_path, monkeypatch):
 
     idx = bulk_build(
         x, m=8, ef_construction=64, first_wave=256,
-        checkpoint=ck, checkpoint_every=1,
+        checkpoint=ck, checkpoint_every_s=0.0,
     )
     assert idx.num_elements == N
     check_integrity(idx.graph, require_inbound=False)

@@ -123,3 +123,8 @@ def test_load_restores_every_init_attribute(tmp_path, rng):
     idx2 = HNSWIndex.load(p)
     missing = set(idx.__dict__) - set(idx2.__dict__)
     assert not missing, f"load() misses attributes: {missing}"
+    # scalar config must round-trip with the same values (a stale hardcoded
+    # default in load() once silently downgraded the serving-table choice)
+    for attr, v in idx.__dict__.items():
+        if isinstance(v, (int, float, bool, str)) and not attr.startswith("_"):
+            assert getattr(idx2, attr) == v, (attr, v, getattr(idx2, attr))

@@ -150,3 +150,28 @@ def test_sharded_entry_override(data):
     ent = np.full(len(q), 7, dtype=np.int64)
     d, l = idx.search(q, k=10, ef=100, entry_labels=ent)
     assert _recall(l, gt) >= 0.9
+
+
+def test_sharded_inline_chunked_parity():
+    """Chunked sharded inline-table build equals the vmap single-shot one."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hnsw_tpu.ops.pallas_gather import make_inline_neighbors
+    from hnsw_tpu.parallel.sharding import _make_sharded_inline_chunked
+
+    rng = np.random.default_rng(3)
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    spec = NamedSharding(mesh, P("shard", None, None))
+    v = jax.device_put(
+        jnp.asarray(rng.normal(size=(8, 256, 96)).astype(np.float32)), spec
+    )
+    lvl = jax.device_put(
+        jnp.asarray(rng.integers(0, 255, size=(8, 256, 8)).astype(np.int32)),
+        spec,
+    )
+    ref = jax.vmap(make_inline_neighbors)(v, lvl)
+    got = _make_sharded_inline_chunked(
+        v, lvl, NamedSharding(mesh, P("shard", None, None, None)), chunk=100
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
