@@ -25,7 +25,7 @@ EF_C = 200
 K = 10
 EF = 200
 EXPAND = 2
-BATCH = int(os.environ.get("BENCH_BATCH", 4096))
+BATCH = int(os.environ.get("BENCH_BATCH", 8192))
 N_QUERY_BATCHES = 8
 CPU_BASELINE_QUERIES = 512
 
@@ -67,10 +67,10 @@ def main():
         tab = make_unified_table(kv, lvl)
         qv = jnp.asarray(rng.normal(size=(16, DIM)).astype(np.float32))
         chosen = jnp.asarray(rng.integers(0, 255, size=(16, 2)).astype(np.int32))
-        dists, idrows = hop_dist_unified(qv, tab, chosen, 32)
+        dists, idout = hop_dist_unified(qv, tab, chosen, 32)
         ids_ref = np.asarray(lvl)[np.asarray(chosen)]  # [16, 2, 32]
         np.testing.assert_array_equal(
-            np.asarray(idrows)[:, :, :32], ids_ref
+            np.asarray(idout).reshape(16, 2, 32), ids_ref
         )
         rows_bf = np.asarray(kv.astype(jnp.bfloat16).astype(jnp.float32))[ids_ref]
         d_ref = ((np.asarray(qv)[:, None, None, :] - rows_bf) ** 2).sum(-1)

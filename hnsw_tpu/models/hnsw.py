@@ -395,7 +395,9 @@ class HNSWIndex:
         )
         sq = sq2 if sq is not None else None
         if kind == "unified":
-            nbr_vec = ("unified", nv)
+            # keep the (unchanged) upper-level tables — dropping them made
+            # the tag a 2-tuple and broke inline_search_kwargs downstream
+            nbr_vec = ("unified", nv, nbr_vec[2])
         elif kind == "split":
             nbr_vec = ("split", nv, l0t)
         else:

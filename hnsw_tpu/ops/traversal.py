@@ -117,10 +117,9 @@ def _greedy_descent_inline(
 
     def body(state):
         cur_slot, cur_d, _ = state
-        d, idrows = hop_dist_unified(
+        d, slots = hop_dist_unified(
             q, table, cur_slot[:, None], m_pad, space, interpret=interpret
-        )  # d [B, m_pad], idrows [B, 1, 128] of neighbor slots
-        slots = idrows[:, 0, :m_pad]
+        )  # d [B, m_pad], slots [B, m_pad] of neighbor slots
         valid = slots < dummy
         d = jnp.where(valid, d, _INF)
         best = jnp.argmin(d, axis=-1)
@@ -211,6 +210,7 @@ class _BeamState(NamedTuple):
         "has_mask",
         "hist_len",
         "interpret",
+        "tb",
     ),
 )
 def search_batch(
@@ -234,6 +234,7 @@ def search_batch(
     collect_metrics: bool = False,
     has_mask: bool = False,
     interpret: bool = False,
+    tb: int = 16,  # hop-kernel query tile (queries per grid step)
 ) -> SearchResults:
     """Batched HNSW search over a device-resident padded-CSR graph.
 
@@ -349,10 +350,10 @@ def search_batch(
         if unified_table is not None:
             from hnsw_tpu.ops.pallas_gather import hop_dist_unified
 
-            d, idrows = hop_dist_unified(
-                q, unified_table, chosen, max_m0, space, interpret=interpret
+            d, nbrs = hop_dist_unified(
+                q, unified_table, chosen, max_m0, space, tb=tb,
+                interpret=interpret,
             )
-            nbrs = idrows[:, :, :max_m0].reshape(b, em)
         # Split fast path: one Pallas call per hop (contiguous DMAs for
         # vectors and the 32-node id tile), ids extracted with one-hot reduces.
         elif nbr_vectors is not None:
@@ -362,7 +363,7 @@ def search_batch(
             )
 
             d, id_tiles = hop_dist_inline(
-                q, nbr_vectors, level0_tiles, chosen, max_m0, space,
+                q, nbr_vectors, level0_tiles, chosen, max_m0, space, tb=tb,
                 interpret=interpret,
             )
             nbrs = extract_level0_ids(id_tiles, chosen, max_m0)

@@ -134,3 +134,30 @@ def test_replace_deleted_appends_when_none_deleted():
     assert idx.num_elements == 103
     d, l = idx.search(_data(3, seed=4), k=1, ef=80)
     np.testing.assert_array_equal(l[:, 0], [200, 201, 202])
+
+
+@pytest.mark.parametrize("kind_budget", [("unified", None), ("split", 0)])
+def test_incremental_sync_inline_tables(rng, kind_budget):
+    """Delta syncs with inline tables forced on (CPU interpret mode): the
+    tagged tuple must stay well-formed across incremental updates — the
+    unified tag once collapsed to a 2-tuple after a delta, crashing the
+    first TPU bulk_build wave that reused it (inline_search_kwargs reads
+    element 2)."""
+    kind, budget = kind_budget
+    x = _data(600)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=60,
+                    inline_neighbors=True)
+    if budget is not None:
+        idx.unified_max_bytes = budget  # force the split layout
+    idx.add_items(x)
+    idx.search(x[:16], k=3, ef=40)
+    assert idx._device[5][0] == kind
+    idx.add_items(_data(30, seed=5), np.arange(600, 630))
+    d, l = idx.search(x[:16], k=3, ef=40)
+    assert idx._last_sync_mode == "delta"
+    nbr_vec = idx._device[5]
+    assert nbr_vec[0] == kind and len(nbr_vec) == 3
+    from hnsw_tpu.models.hnsw import inline_search_kwargs
+
+    assert set(inline_search_kwargs(nbr_vec))  # must not raise
+    assert np.mean(l[:, 0] == np.arange(16)) >= 0.9
