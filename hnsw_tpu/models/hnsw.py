@@ -33,7 +33,11 @@ from hnsw_tpu.ops.traversal import SearchResults, search_batch
 # 13.98GiB live, +57% qps over split at ef=200). Builders that churn large
 # row deltas (bulk_build waves) clamp to UNIFIED_WAVE_MAX_BYTES.
 UNIFIED_MAX_BYTES = 13 * 2**30
-UNIFIED_WAVE_MAX_BYTES = 10 * 2**30
+# Build waves always use the split layout: its row-delta refresh is a plain
+# bf16 gather+scatter (measured 0.1-3.6s/wave at 1M), while unified rows
+# update via per-node dynamic slices / full rebuilds that dominate wave time.
+# Serving upgrades to unified via rebuild_device_tables().
+UNIFIED_WAVE_MAX_BYTES = 0
 
 
 def _bucket(k: int) -> int:
@@ -82,8 +86,19 @@ def _apply_row_deltas(
             from hnsw_tpu.ops.pallas_gather import pack_unified_rows
 
             sent = level0.shape[0] - 1
-            nbr_vec = nbr_vec.at[dirty_ids].set(
-                pack_unified_rows(x, dirty_rows, sent)
+            rows_u = pack_unified_rows(x, dirty_rows, sent)  # [K, s_data, 128]
+            s_data = rows_u.shape[1]
+
+            # the 2D dense table updates row-block-wise (a scatter would
+            # serialize per 128-lane row; sentinel-padded dirty ids rewrite
+            # the sentinel row with identical content — harmless)
+            def upd_row(i, tab):
+                return jax.lax.dynamic_update_slice(
+                    tab, rows_u[i], (dirty_ids[i] * s_data, 0)
+                )
+
+            nbr_vec = jax.lax.fori_loop(
+                0, dirty_ids.shape[0], upd_row, nbr_vec
             )
         elif inline_kind == "split":
             from hnsw_tpu.ops.pallas_gather import make_level0_tiles

@@ -245,20 +245,25 @@ def extract_level0_ids(id_tiles: Array, chosen: Array, m0: int) -> Array:
 
 
 def unified_row_sublanes(m0: int, d_pad: int) -> tuple[int, int]:
-    """(vector sublanes sv, total row sublanes) of a unified node block:
-    sv int32 sublanes of packed bf16 vectors + 1 id sublane, padded to the
-    int32 tile height (8). Requires m0*d_pad % 256 == 0 and m0 <= 128."""
+    """(vector sublanes sv, total row sublanes s_data) of a unified node
+    block: sv int32 sublanes of packed bf16 vectors + 1 id sublane, with NO
+    tile padding — the table is stored 2D [N_pad*s_data, 128] so rows pack
+    dense on the sublane axis (a 3D [N, s, 128] table pads s up to the
+    int32 tile height 8: 17 -> 24 sublanes = 41% wasted DMA bandwidth,
+    measured -25% hop-kernel time from going dense). Requires
+    m0*d_pad % 256 == 0 and m0 <= 128."""
     assert m0 * d_pad % 256 == 0 and m0 <= 128
     sv = m0 * d_pad // 256
-    return sv, -(-(sv + 1) // 8) * 8
+    return sv, sv + 1
 
 
 def pack_unified_rows(
     vectors: Array, nbr_ids: Array, sent: int, id_payload: Array | None = None
 ) -> Array:
-    """Pack neighbor blocks [K, m0] -> unified rows [K, S_row, 128] int32:
+    """Pack neighbor blocks [K, m0] -> unified rows [K, s_data, 128] int32:
     sublanes 0..sv-1 hold the m0 neighbors' bf16 vectors (P1 pair packing),
-    sublane sv holds the m0 neighbor ids (sentinel-padded to 128 lanes).
+    sublane sv (the last) holds the m0 neighbor ids (sentinel-padded to 128
+    lanes). Dense rows — reshape to [K*s_data, 128] for table storage.
 
     `id_payload` optionally substitutes what the id sublane carries (the
     upper-level tables store neighbor *slots* there while the vectors still
@@ -266,7 +271,7 @@ def pack_unified_rows(
     k, m0 = nbr_ids.shape
     d = vectors.shape[1]
     d_pad = -(-d // 128) * 128
-    sv, s_row = unified_row_sublanes(m0, d_pad)
+    sv, _ = unified_row_sublanes(m0, d_pad)
     # cast-then-gather: a f32 gather output is 2x the packed size (OOM at 1M)
     rows = jnp.take(vectors.astype(jnp.bfloat16), nbr_ids.reshape(-1), axis=0)
     if d_pad != d:
@@ -277,8 +282,7 @@ def pack_unified_rows(
     ids_row = jnp.pad(
         payload.astype(jnp.int32), ((0, 0), (0, 128 - m0)), constant_values=sent
     )[:, None, :]
-    pad = jnp.zeros((k, s_row - sv - 1, 128), jnp.int32)
-    return jnp.concatenate([packed, ids_row, pad], axis=1)
+    return jnp.concatenate([packed, ids_row], axis=1)
 
 
 def make_upper_tables(
@@ -290,7 +294,7 @@ def make_upper_tables(
     vectors plus the neighbors' *slots at the same level* in the id sublane
     (so the descent loop never touches upper_slot mid-level; the round-1
     design did one serialized XLA row gather per hop, ~9% of query time).
-    Returns ((table_l [U_pad, S_row, 128], slot_to_id_l [U_pad]), ...).
+    Returns ((table_l [U_pad*s_data, 128], slot_to_id_l [U_pad]), ...).
     """
     ml, u_pad, m = upper.shape
     n_pad = upper_slot.shape[1]
@@ -304,7 +308,9 @@ def make_upper_tables(
         # neighbor slots at this level; the sentinel id maps to the dummy
         # slot u_pad-1 by construction of upper_slot
         nbr_slots = jnp.take(upper_slot[l], nbrs, axis=0)
-        tab = pack_unified_rows(vectors, nbrs, u_pad - 1, id_payload=nbr_slots)
+        tab = pack_unified_rows(
+            vectors, nbrs, u_pad - 1, id_payload=nbr_slots
+        ).reshape(-1, 128)
         # slot -> node id (dummy slot stays sentinel)
         ids = jnp.full((u_pad,), sent, jnp.int32)
         ids = ids.at[upper_slot[l]].set(
@@ -316,10 +322,11 @@ def make_upper_tables(
 
 
 def make_unified_table(vectors: Array, level0: Array) -> Array:
-    """[N_pad, S_row, 128] int32 unified node-block table from the vector
-    table and the (sentinel-remapped) level-0 adjacency."""
+    """[N_pad*s_data, 128] int32 dense unified node-block table from the
+    vector table and the (sentinel-remapped) level-0 adjacency."""
     n_pad = level0.shape[0]
-    return pack_unified_rows(vectors, level0, n_pad - 1)
+    rows = pack_unified_rows(vectors, level0, n_pad - 1)
+    return rows.reshape(-1, 128)
 
 
 def make_unified_table_chunked(
@@ -334,16 +341,16 @@ def make_unified_table_chunked(
     n_pad, m0 = level0.shape
     d = vectors.shape[1]
     d_pad = -(-d // 128) * 128
-    _, s_row = unified_row_sublanes(m0, d_pad)
+    _, s_data = unified_row_sublanes(m0, d_pad)
     sent = n_pad - 1
 
     @_ft.partial(jax.jit, donate_argnums=(0,))
     def upd(tab, x, rows_ids, start):
-        rows = pack_unified_rows(x, rows_ids, sent)
-        return jax.lax.dynamic_update_slice(tab, rows, (start, 0, 0))
+        rows = pack_unified_rows(x, rows_ids, sent).reshape(-1, 128)
+        return jax.lax.dynamic_update_slice(tab, rows, (start * s_data, 0))
 
     xb = vectors.astype(jnp.bfloat16)  # cast once, not per chunk
-    tab = jnp.zeros((n_pad, s_row, 128), jnp.int32)
+    tab = jnp.zeros((n_pad * s_data, 128), jnp.int32)
     # dynamic start: one compiled program for all full chunks (+ the tail)
     for s in range(0, n_pad, chunk):
         e = min(s + chunk, n_pad)
@@ -354,11 +361,11 @@ def make_unified_table_chunked(
 def _hop_dist_unified_kernel(
     chosen_ref,  # SMEM scalar-prefetch [ceil(B*E/128), 128]
     q_ref,  # VMEM [tb, d_pad]
-    tbl_ref,  # ANY/HBM [N_pad, S_row, 128] int32
+    tbl_ref,  # ANY/HBM [N_pad*s_data, 128] int32 (dense 2D node blocks)
     out_ref,  # VMEM [tb, e*m0] f32
     ids_ref,  # VMEM [tb, e*m0] int32
-    rows,  # VMEM scratch [2, tb*e, S_row, 128] int32 (double-buffered)
-    sems,  # DMA sems [2]
+    rows,  # VMEM scratch [nbuf, tb*e, s_data, 128] int32 (pipelined)
+    sems,  # DMA sems [nbuf]
     *,
     tb,
     e,
@@ -366,10 +373,12 @@ def _hop_dist_unified_kernel(
     sv,
     d_pad,
     ip,
+    nbuf,
 ):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
     em = e * m0
+    s_data = sv + 1
 
     def issue(s, buf):
         base = s * tb * e
@@ -378,20 +387,28 @@ def _hop_dist_unified_kernel(
                 f = base + t * e + j
                 c = chosen_ref[f // 128, f % 128]
                 pltpu.make_async_copy(
-                    tbl_ref.at[c], rows.at[buf, t * e + j], sems.at[buf]
+                    tbl_ref.at[pl.ds(c * s_data, s_data)],
+                    rows.at[buf, t * e + j],
+                    sems.at[buf],
                 ).start()
 
+    # nbuf-deep pipeline: at step 0 prime buffers 0..nbuf-2, then each step
+    # issues step+nbuf-1 — keeps (nbuf-1)*tb*e row DMAs in flight to hide
+    # HBM random-access latency (2-deep measured ~250GB/s effective on v5e)
     @pl.when(step == 0)
     def _():
-        issue(0, 0)
+        for s0 in range(min(nbuf - 1, nsteps)):
+            issue(s0, s0 % nbuf)
 
-    @pl.when(step + 1 < nsteps)
+    @pl.when(step + nbuf - 1 < nsteps)
     def _():
-        issue(step + 1, (step + 1) % 2)
+        issue(step + nbuf - 1, (step + nbuf - 1) % nbuf)
 
-    buf = step % 2
-    pltpu.make_async_copy(tbl_ref.at[0], rows.at[buf], sems.at[buf]).wait()
-    blk = rows[buf]  # [tb*e, S_row, 128]
+    buf = step % nbuf
+    pltpu.make_async_copy(
+        tbl_ref.at[pl.ds(0, s_data)], rows.at[buf], sems.at[buf]
+    ).wait()
+    blk = rows[buf]  # [tb*e, s_data, 128]
     # emit neighbor ids packed [tb, e*m0] (static lane slices — the old
     # [tb, e, 128] raw-tile output cost ~7% of query-loop time in XLA
     # slice+reshape fusions downstream)
@@ -408,15 +425,18 @@ def _hop_dist_unified_kernel(
         out_ref[:] = jnp.sum(diff * diff, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("space", "m0", "tb", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("space", "m0", "tb", "interpret", "nbuf")
+)
 def hop_dist_unified(
     q: Array,  # [B, D]
-    table: Array,  # [N_pad, S_row, 128] int32 unified node blocks
+    table: Array,  # [N_pad*s_data, 128] int32 dense unified node blocks
     chosen: Array,  # [B, E] int32 node ids to expand (in-range)
     m0: int,
     space: str = "l2",
     tb: int = 16,
     interpret: bool = False,
+    nbuf: int = 2,
 ) -> tuple[Array, Array]:
     """Expand `chosen` nodes with ONE contiguous DMA per (query, chosen):
     the unified row carries both the m0 neighbor vectors (bf16-packed) and
@@ -426,10 +446,11 @@ def hop_dist_unified(
     Returns (dists [B, E*M0] f32, ids [B, E*M0] int32)."""
     b, d = q.shape
     e = chosen.shape[1]
-    s_row = table.shape[1]
     d_pad = -(-d // 128) * 128
-    sv, s_expected = unified_row_sublanes(m0, d_pad)
-    assert s_row == s_expected, (s_row, s_expected)
+    sv, s_data = unified_row_sublanes(m0, d_pad)
+    assert table.ndim == 2 and table.shape[0] % s_data == 0, (
+        table.shape, s_data,
+    )
     if d_pad != d:
         q = jnp.pad(q, ((0, 0), (0, d_pad - d)))
     tb = min(tb, b)
@@ -443,7 +464,7 @@ def hop_dist_unified(
     chosen_packed = flat.reshape(p, 128)
     kernel = functools.partial(
         _hop_dist_unified_kernel,
-        tb=tb, e=e, m0=m0, sv=sv, d_pad=d_pad, ip=space == "ip",
+        tb=tb, e=e, m0=m0, sv=sv, d_pad=d_pad, ip=space == "ip", nbuf=nbuf,
     )
     return pl.pallas_call(
         kernel,
@@ -463,8 +484,8 @@ def hop_dist_unified(
                 ),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, tb * e, s_row, 128), jnp.int32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((nbuf, tb * e, s_data, 128), jnp.int32),
+                pltpu.SemaphoreType.DMA((nbuf,)),
             ],
         ),
         out_shape=(

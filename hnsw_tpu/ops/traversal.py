@@ -211,6 +211,7 @@ class _BeamState(NamedTuple):
         "hist_len",
         "interpret",
         "tb",
+        "nbuf",
     ),
 )
 def search_batch(
@@ -235,6 +236,7 @@ def search_batch(
     has_mask: bool = False,
     interpret: bool = False,
     tb: int = 16,  # hop-kernel query tile (queries per grid step)
+    nbuf: int = 2,  # hop-kernel DMA pipeline depth (buffers in flight)
 ) -> SearchResults:
     """Batched HNSW search over a device-resident padded-CSR graph.
 
@@ -352,7 +354,7 @@ def search_batch(
 
             d, nbrs = hop_dist_unified(
                 q, unified_table, chosen, max_m0, space, tb=tb,
-                interpret=interpret,
+                interpret=interpret, nbuf=nbuf,
             )
         # Split fast path: one Pallas call per hop (contiguous DMAs for
         # vectors and the 32-node id tile), ids extracted with one-hot reduces.
