@@ -189,8 +189,22 @@ def bulk_build(
         with open(state_path) as f:
             st = json.load(f)
         if st.get("n") == n and st.get("seed") == seed and st.get("m") == m:
-            idx = HNSWIndex.load(ckpt_path)
+            from hnsw_tpu.io.checkpoint import load_checkpoint
+            from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
+
+            g, vecs_ck, deleted_ck, _meta = load_checkpoint(ckpt_path)
+            if vecs_ck.shape[1] == 0:
+                # graph-only checkpoint: vectors replay deterministically in
+                # insertion order (upper nodes first, then registered level-0)
+                order = np.concatenate([hi, lo])[: g.num_nodes]
+                vecs_ck = np.ascontiguousarray(data[order])
+            idx = HNSWIndex(space, m=m, ef_construction=ef_construction,
+                            seed=seed)
             idx.growth_headroom = 0.0
+            idx._builder = NativeHNSWBuilder.from_graph(
+                g, vecs_ck, deleted_ck, space=space.name,
+                ef_construction=ef_construction,
+            )
             b = idx._builder
             resume_pos, resume_wave = st["pos"], st["wave"]
             if verbose:
@@ -221,9 +235,22 @@ def bulk_build(
     def save_state(pos, wave):
         if not checkpoint:
             return
+        from hnsw_tpu.io.checkpoint import save_checkpoint
+
         t0 = time.time()
-        # atomic: a crash mid-save must not corrupt the resume point
-        idx.save(ckpt_path + ".tmp.npz", compress=False)
+        # atomic: a crash mid-save must not corrupt the resume point.
+        # graph-only (vectors replay from `data` on resume): ~2.3x faster
+        # writes, the dominant cost of a checkpointed 1M build
+        save_checkpoint(
+            ckpt_path + ".tmp.npz",
+            b.export_graph(),
+            np.zeros((0, 0), np.float32),
+            b.export_deleted(),
+            meta={"space": space.name, "dim": space.dim, "m": m,
+                  "ef_construction": ef_construction},
+            compress=False,
+            include_vectors=False,
+        )
         os.replace(ckpt_path + ".tmp.npz", ckpt_path)
         with open(state_path + ".tmp", "w") as f:
             json.dump({"pos": pos, "wave": wave, "n": n, "seed": seed, "m": m}, f)
