@@ -16,7 +16,7 @@ SURVEY.md (reference: hiozings/Research-New-HNSW):
 """
 
 from hnsw_tpu.core.graph import HNSWGraph, graph_device_arrays
-from hnsw_tpu.core.spaces import Space, L2Space, IPSpace, get_space
+from hnsw_tpu.core.spaces import Space, L2Space, IPSpace, CosineSpace, get_space
 from hnsw_tpu.models.bruteforce import BruteforceIndex
 from hnsw_tpu.models.hnsw import HNSWIndex, SearchParams
 from hnsw_tpu.models.multivector import MultiVectorIndex, epsilon_search
@@ -29,6 +29,7 @@ __all__ = [
     "Space",
     "L2Space",
     "IPSpace",
+    "CosineSpace",
     "get_space",
     "BruteforceIndex",
     "HNSWIndex",

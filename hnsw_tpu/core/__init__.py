@@ -1,5 +1,5 @@
 from hnsw_tpu.core.graph import HNSWGraph, DeviceGraph, graph_device_arrays, check_integrity
-from hnsw_tpu.core.spaces import Space, L2Space, IPSpace, get_space
+from hnsw_tpu.core.spaces import Space, L2Space, IPSpace, CosineSpace, get_space
 
 __all__ = [
     "HNSWGraph",
@@ -9,5 +9,6 @@ __all__ = [
     "Space",
     "L2Space",
     "IPSpace",
+    "CosineSpace",
     "get_space",
 ]

@@ -37,6 +37,13 @@ class Space:
     def needs_sq_norms(self) -> bool:
         return self.name == "l2"
 
+    @property
+    def persist_name(self) -> str:
+        """Name written to checkpoints (distinct from the kernel-dispatch
+        `name` for derived spaces like cosine, which must reconstruct their
+        preprocessing on load)."""
+        return self.name
+
 
 class L2Space(Space):
     """Squared-L2 space (reference: hnswlib/space_l2.h:208-238). Also covers
@@ -55,9 +62,34 @@ class IPSpace(Space):
         super().__init__(name="ip", dim=dim, storage_dtype=storage_dtype)
 
 
+class CosineSpace(Space):
+    """Cosine distance, d = 1 - cos(a, b), as L2-normalize + inner product —
+    hnswlib's documented recipe for cosine similarity (the reference repo
+    itself ships only L2 + IP, hnswlib/space_ip.h). Queries AND stored
+    vectors are normalized host-side in preprocess; the device kernels run
+    the plain IP path, so every IP fast path (unified node blocks, Pallas
+    hop kernels, native engine) applies unchanged."""
+
+    def __init__(self, dim: int, storage_dtype=jnp.float32):
+        super().__init__(name="ip", dim=dim, storage_dtype=storage_dtype)
+
+    @property
+    def persist_name(self) -> str:
+        return "cosine"
+
+    def preprocess(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float32).reshape(-1, self.dim)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        return x / np.maximum(norms, 1e-30)
+
+
 def get_space(name: str, dim: int, storage_dtype=jnp.float32) -> Space:
     if name == "l2":
         return L2Space(dim, storage_dtype)
     if name == "ip":
         return IPSpace(dim, storage_dtype)
-    raise ValueError(f"unknown space {name!r} (expected 'l2' or 'ip')")
+    if name == "cosine":
+        return CosineSpace(dim, storage_dtype)
+    raise ValueError(
+        f"unknown space {name!r} (expected 'l2', 'ip' or 'cosine')"
+    )

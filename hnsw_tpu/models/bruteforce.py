@@ -155,7 +155,7 @@ class BruteforceIndex:
         with open(path, "wb") as f:
             f.write(_MAGIC)
             meta = json.dumps(
-                {"space": self.space.name, "dim": self.dim, "n": self._n}
+                {"space": self.space.persist_name, "dim": self.dim, "n": self._n}
             ).encode()
             f.write(struct.pack("<I", len(meta)))
             f.write(meta)

@@ -572,7 +572,7 @@ class HNSWIndex:
             self._builder.export_deleted(),
             compress=compress,
             meta={
-                "space": self.space.name,
+                "space": self.space.persist_name,
                 "dim": self.dim,
                 "m": self.m,
                 "ef_construction": self.ef_construction,
@@ -596,7 +596,7 @@ class HNSWIndex:
         )
         self.unified_max_bytes = UNIFIED_MAX_BYTES
         self._builder = NativeHNSWBuilder.from_graph(
-            g, vectors, deleted, space=meta["space"],
+            g, vectors, deleted, space=self.space.name,
             ef_construction=meta["ef_construction"],
         )
         self._device = None

@@ -475,13 +475,13 @@ class ShardedHNSWIndex:
                 b.export_graph(),
                 b.export_vectors(),
                 b.export_deleted(),
-                meta={"space": self.space.name, "dim": self.dim, "m": self.m},
+                meta={"space": self.space.persist_name, "dim": self.dim, "m": self.m},
             )
         with open(f"{path_prefix}.meta.json", "w") as f:
             json.dump(
                 {
                     "num_shards": self.num_shards,
-                    "space": self.space.name,
+                    "space": self.space.persist_name,
                     "dim": self.dim,
                     "m": self.m,
                     "ef_construction": self.ef_construction,
@@ -507,7 +507,7 @@ class ShardedHNSWIndex:
         for i in range(self.num_shards):
             g, vectors, deleted, _ = load_checkpoint(f"{path_prefix}.shard{i}.npz")
             b = NativeHNSWBuilder.from_graph(
-                g, vectors, deleted, space=meta["space"],
+                g, vectors, deleted, space=self.space.name,
                 ef_construction=meta["ef_construction"],
             )
             self._builders.append(b)

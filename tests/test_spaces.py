@@ -40,4 +40,32 @@ def test_get_space_unknown():
     import pytest
 
     with pytest.raises(ValueError):
-        get_space("cosine", 8)
+        get_space("hamming", 8)
+
+
+def test_cosine_space(rng, tmp_path):
+    """Cosine = normalize + IP (hnswlib's documented recipe; the reference
+    ships only L2/IP). Unnormalized data and queries must rank by cosine
+    similarity, and the normalization must survive save/load."""
+    from hnsw_tpu.models.hnsw import HNSWIndex
+
+    x = rng.normal(size=(2000, 24)).astype(np.float32)
+    x *= rng.uniform(0.1, 10.0, size=(2000, 1)).astype(np.float32)  # scales
+    idx = HNSWIndex("cosine", dim=24, m=8, ef_construction=80)
+    idx.add_items(x)
+    q = x[:64] * rng.uniform(0.5, 2.0, size=(64, 1)).astype(np.float32)
+    d, l = idx.search(q, k=5, ef=80)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    gt = np.argsort(1.0 - qn @ xn.T, axis=1)[:, :1]
+    assert np.mean(l[:, 0] == gt[:, 0]) >= 0.95
+    # scaling a query must not change its result (direction-only)
+    d2, l2 = idx.search(q * 7.5, k=5, ef=80)
+    np.testing.assert_array_equal(l, l2)
+
+    p = str(tmp_path / "cos.npz")
+    idx.save(p)
+    idx2 = HNSWIndex.load(p)
+    assert idx2.space.persist_name == "cosine"
+    d3, l3 = idx2.search(q, k=5, ef=80)
+    np.testing.assert_array_equal(l, l3)
