@@ -221,31 +221,45 @@ class _MicroBatcher:
 
 
 def _fetch_bulk_vectors(storage: str, dim: int, retries: int = 3):
-    """One bulk transfer from the storage service → (ids, vecs).
+    """One bulk transfer from the storage service → (ids, vecs), parsed
+    STREAMING into preallocated arrays: buffering the whole body and then
+    copying it out doubles transient host RSS — the metric the optimized
+    mode exists to keep low (reference RSS methodology,
+    bin/experiment.py:237-290).
 
     Retries with linear backoff like the reference's per-vector fetch
     (hnsw_graph.cpp:184-209, retry x3) so a storage service that is still
     coming up or briefly restarting does not kill the query service."""
     import struct
 
-    raw = None
+    rec_size = 4 + 4 * dim
     for attempt in range(retries):
         try:
             with urllib.request.urlopen(
                 f"{storage}/vec/bulk?dim={dim}", timeout=300
             ) as r:
-                raw = r.read()
-            break
+                head = r.read(8)
+                count, d = struct.unpack("<II", head)
+                assert d == dim
+                buf = np.empty(count * rec_size, dtype=np.uint8)
+                got = 0
+                total = count * rec_size
+                while got < total:
+                    chunk = r.read(min(1 << 22, total - got))
+                    if not chunk:
+                        raise IOError("short bulk body")
+                    buf[got : got + len(chunk)] = np.frombuffer(
+                        chunk, dtype=np.uint8
+                    )
+                    got += len(chunk)
+            rec = buf.view(
+                [("id", "<u4"), ("vec", "<f4", (dim,))]
+            )
+            return rec["id"].astype(np.int64), rec["vec"]
         except Exception:
             if attempt == retries - 1:
                 raise
             time.sleep(1.0 * (attempt + 1))
-    count, d = struct.unpack_from("<II", raw)
-    assert d == dim
-    rec = np.frombuffer(
-        raw, dtype=[("id", "<u4"), ("vec", "<f4", (dim,))], offset=8, count=count
-    )
-    return rec["id"].astype(np.int64), np.ascontiguousarray(rec["vec"])
 
 
 def build_engine(
@@ -383,6 +397,12 @@ def main():
     engine = build_engine(
         args.graph, optimized, args.storage, args.dim, args.ef, args.k
     )
+    # all hot state now lives in device HBM; return the build-time host
+    # buffers (checkpoint arrays / bulk-fetch staging) to the OS so the
+    # serving RSS reflects steady state, not the transient peak
+    from hnsw_tpu.utils.rss import release_host_memory
+
+    release_host_memory()
     serve(engine, args.port)
 
 

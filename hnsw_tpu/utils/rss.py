@@ -12,3 +12,19 @@ def current_rss_kb() -> int:
         return rss_pages * os.sysconf("SC_PAGE_SIZE") // 1024
     except (OSError, IndexError, ValueError):
         return 0
+
+
+def release_host_memory() -> None:
+    """gc + glibc malloc_trim: freed Python/NumPy buffers otherwise stay in
+    the allocator's arena and keep RSS at its transient peak — which made
+    the optimized (storage-separated) query service *look* heavier than the
+    baseline despite holding less. The reference's RSS methodology
+    (bin/experiment.py:237-290) measures exactly this."""
+    import ctypes
+    import gc
+
+    gc.collect()
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
