@@ -129,6 +129,102 @@ def select_neighbors_host(
     return sel[:, :m].astype(np.int32)
 
 
+def _recursive_upper_phase(
+    idx, data, labels, levels, hi, space, m, ef_construction, seed,
+    first_wave, select_c, verbose, upper_recurse_min,
+):
+    """Build the level>=1 hierarchy by recursing bulk_build on the subset
+    (levels shifted down by one), then graft the sub-graph into `idx`'s
+    builder via the array importer. Returns the new builder.
+
+    Mapping (sub node j == main node j, since hi is inserted in order):
+    - main level-0 links of upper nodes := sub level-0 (cap 2M) — the same
+      upper-only initial neighborhood the serial host phase produces; later
+      waves re-link them mutually with the rest of the data.
+    - main level-1 links := sub level-0 heuristic-pruned to M
+      (getNeighborsByHeuristic2 semantics, hnswalg.h:443-483).
+    - main level l+1 links := sub level l links, slots reused verbatim.
+    """
+    from hnsw_tpu.core.graph import HNSWGraph
+    from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
+
+    nh = len(hi)
+    # positional labels: the sub build reorders internally (its own upper
+    # nodes insert first) — g_sub.labels[j] recovers input position of sub
+    # node j, and everything below is remapped back to input order
+    sub = bulk_build(
+        data[hi], labels=np.arange(nh, dtype=np.int64), space=space, m=m,
+        ef_construction=ef_construction, seed=seed + 1,
+        first_wave=first_wave, select_c=select_c, verbose=verbose,
+        upper_recurse_min=upper_recurse_min, _levels=levels[hi] - 1,
+    )
+    g_sub = sub._builder.export_graph()
+    xh = np.ascontiguousarray(data[hi], dtype=np.float32)
+    perm = np.asarray(g_sub.labels, dtype=np.int64)  # sub id -> input pos
+    inv = np.empty(nh, dtype=np.int64)
+    inv[perm] = np.arange(nh)  # input pos -> sub id
+
+    def remap(ids):
+        return np.where(
+            ids >= 0, perm[np.clip(ids, 0, nh - 1)], -1
+        ).astype(np.int32)
+
+    # level-0 rows in input order, neighbor ids as input positions
+    l0 = remap(np.asarray(g_sub.level0, dtype=np.int32))[inv]  # [nh, 2m]
+
+    # level-1 links: prune each node's 2M level-0 candidates to the best M
+    # by the diversity heuristic (chunked: the gathered rows are ~1GB at 1M)
+    pruned = np.full((nh, m), -1, dtype=np.int32)
+    chunk = 8192
+    for s in range(0, nh, chunk):
+        e = min(s + chunk, nh)
+        ids_c = l0[s:e]
+        safe = np.clip(ids_c, 0, nh - 1)
+        rows = xh[safe]  # [c, 2m, D]
+        qc = xh[s:e][:, None, :]
+        if space.name == "l2":
+            d_c = ((rows - qc) ** 2).sum(-1)
+        else:
+            d_c = 1.0 - np.einsum("cmd,cod->cm", rows, qc)
+        d_c = np.where(ids_c >= 0, d_c, np.inf).astype(np.float32)
+        order = np.argsort(d_c, axis=1, kind="stable")
+        ids_s = np.take_along_axis(ids_c, order, axis=1)
+        d_s = np.take_along_axis(d_c, order, axis=1)
+        pruned[s:e] = select_neighbors_host(
+            xh, ids_s, d_s, nh, m, space.name
+        )
+
+    L = g_sub.max_level + 1
+    lv_main = levels[hi].astype(np.int32)
+    upper = np.full((L, nh, m), -1, dtype=np.int32)
+    upper_slot = np.full((L, nh), -1, dtype=np.int32)
+    upper[0, :, :] = pruned
+    upper_slot[0, :] = np.arange(nh, dtype=np.int32)
+    for l in range(1, L):
+        # sub level l == main level l+1; slot numbering is reused (rows are
+        # indexed by slot), only the node ids inside rows and the per-node
+        # slot lookups need the input-order remap
+        su = remap(np.asarray(g_sub.upper[l - 1], dtype=np.int32))
+        upper[l, : su.shape[0], : su.shape[1]] = su
+        upper_slot[l, :] = g_sub.upper_slot[l - 1, inv]
+
+    g_main = HNSWGraph(
+        level0=l0,
+        upper=upper,
+        upper_slot=upper_slot,
+        node_level=lv_main,
+        labels=np.asarray(labels[hi], dtype=np.int64),
+        entry_point=int(perm[g_sub.entry_point]),
+        max_level=L,
+    )
+    b_new = NativeHNSWBuilder.from_graph(
+        g_main, xh, None, space=space.name,
+        ef_construction=ef_construction, seed=seed,
+    )
+    idx._builder = b_new
+    return b_new
+
+
 def bulk_build(
     data: np.ndarray,
     labels: np.ndarray | None = None,
@@ -141,6 +237,8 @@ def bulk_build(
     verbose: bool = False,
     checkpoint: str | None = None,
     checkpoint_every_s: float = 180.0,
+    upper_recurse_min: int = 20_000,
+    _levels: np.ndarray | None = None,
 ):
     """Build an HNSWIndex with device-accelerated construction.
 
@@ -173,10 +271,13 @@ def bulk_build(
         labels = np.arange(n, dtype=np.int64)
     labels = np.asarray(labels, dtype=np.int64)
 
-    rng = np.random.default_rng(seed)
-    # 1) pre-sample levels (hnswalg.h:207-211 distribution)
-    mult = 1.0 / math.log(m)
-    levels = np.floor(-np.log(rng.uniform(size=n)) * mult).astype(np.int32)
+    if _levels is None:
+        rng = np.random.default_rng(seed)
+        # 1) pre-sample levels (hnswalg.h:207-211 distribution)
+        mult = 1.0 / math.log(m)
+        levels = np.floor(-np.log(rng.uniform(size=n)) * mult).astype(np.int32)
+    else:
+        levels = np.asarray(_levels, dtype=np.int32)
     hi = np.where(levels >= 1)[0]
     lo = np.where(levels == 0)[0]
     if verbose:
@@ -217,10 +318,24 @@ def bulk_build(
         idx.growth_headroom = 0.0  # N is fixed for the whole build
         b = idx._builder
 
-        # host-insert the hierarchy seed (upper-level nodes, ~N/M of the data)
         t0 = time.time()
-        for i in hi:
-            b.add_with_level(data[i], int(labels[i]), int(levels[i]))
+        if len(hi) >= upper_recurse_min:
+            # Recursive upper phase: the level>=1 subset with every level
+            # decremented IS an HNSW of the subset (the geometric level
+            # distribution is self-similar), so build it with the same
+            # device-wave machinery instead of ~N/M serial host inserts
+            # (151s of a 650s 1M build), then graft its graph in as the
+            # main hierarchy: sub level-0 (cap 2M) becomes the upper nodes'
+            # initial main level-0 links AND, heuristic-pruned to M, the
+            # main level-1 links; sub level l becomes main level l+1.
+            b = _recursive_upper_phase(
+                idx, data, labels, levels, hi, space, m, ef_construction,
+                seed, first_wave, select_c, verbose, upper_recurse_min,
+            )
+        else:
+            # host-insert the hierarchy seed (small: ~N/M of the data)
+            for i in hi:
+                b.add_with_level(data[i], int(labels[i]), int(levels[i]))
         if verbose:
             print(f"  upper phase: {time.time() - t0:.1f}s")
 

@@ -94,3 +94,33 @@ def test_bulk_build_supports_incremental_after(rng):
     idx.mark_deleted(1000)
     d, l = idx.search(extra[:1], k=5, ef=64)
     assert 1000 not in l[0]
+
+
+def test_bulk_build_recursive_upper(rng):
+    """The recursive (device-wave) upper phase must match the serial host
+    upper phase in graph validity and recall."""
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    oracle = BruteforceIndex(L2Space(DIM))
+    oracle.add_items(x, np.arange(N))
+    q = x[rng.integers(0, N, 64)] + 0.01 * rng.normal(size=(64, DIM)).astype(
+        np.float32
+    )
+    _, gt = oracle.search_knn(q, 10)
+
+    rec = bulk_build(
+        x, m=16, ef_construction=100, first_wave=512, upper_recurse_min=50,
+    )
+    assert rec.num_elements == N
+    check_integrity(rec.graph, require_inbound=False)
+    g = rec.graph
+    assert g.max_level >= 1
+    # upper-level nodes must carry level-1 links capped at M
+    assert g.upper.shape[2] == 16
+    _, l_rec = rec.search(q, k=10, ef=100)
+    r_rec = _recall(l_rec, gt)
+
+    host = bulk_build(x, m=16, ef_construction=100, first_wave=512)
+    _, l_host = host.search(q, k=10, ef=100)
+    r_host = _recall(l_host, gt)
+    assert r_rec >= r_host - 0.05, (r_rec, r_host)
+    assert r_rec >= 0.9, r_rec
