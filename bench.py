@@ -86,6 +86,9 @@ def main():
     idx.add_items(x)
     build_s = time.time() - t0
     log(f"build N={N}: {build_s:.1f}s ({N/build_s:.0f} inserts/s)")
+    # NOTE: bulk_build constructs the same-recall graph in ~65s here, but
+    # its graph queries ~12% slower at the same recall (longer max-hop tail
+    # from wave staleness) — the host-built graph serves the headline.
 
     # queries: perturbed samples; ground truth from the exact oracle
     q = x[rng.integers(0, N, BATCH)] + 0.05 * rng.normal(size=(BATCH, DIM)).astype(
