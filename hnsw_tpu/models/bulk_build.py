@@ -484,6 +484,10 @@ def bulk_build(
             save_state(pos, wave)
             last_save = time.time()
 
+    # NOTE a final "polish" re-link of the early (stale-snapshot) waves was
+    # tried and made queries SLOWER at equal recall: re-linked nodes get a
+    # fresh M-capped forward row but, being last, never receive the reverse
+    # links that mature organic nodes toward maxM0 — their degree halves.
     idx.growth_headroom = 1 / 16  # restore post-build insert headroom
     idx.unified_max_bytes = serve_unified_budget
     idx._dirty = True
