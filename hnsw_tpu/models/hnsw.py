@@ -38,6 +38,9 @@ UNIFIED_MAX_BYTES = 13 * 2**30
 # update via per-node dynamic slices / full rebuilds that dominate wave time.
 # Serving upgrades to unified via rebuild_device_tables().
 UNIFIED_WAVE_MAX_BYTES = 0
+# The split bf16 table is the wave workhorse; above this it cannot fit HBM
+# (N=2M: 15.3GB) and the sync falls through to the XLA-gather path.
+SPLIT_MAX_BYTES = 13 * 2**30
 
 
 def _bucket(k: int) -> int:
@@ -119,12 +122,18 @@ def _apply_row_deltas(
 
 def inline_search_kwargs(nbr_vec) -> dict:
     """search_batch kwargs for a tagged inline-table tuple:
-    ("unified", table, upper_tables) | ("split", nbr_vectors, level0_tiles)
-    | None."""
+    ("unified", table, upper_tables) | ("unified8", table, upper_tables) |
+    ("split", nbr_vectors, level0_tiles) | None."""
     if nbr_vec is None:
         return {}
     if nbr_vec[0] == "unified":
         return {"unified_table": nbr_vec[1], "upper_tables": nbr_vec[2]}
+    if nbr_vec[0] == "unified8":
+        return {
+            "unified_table": nbr_vec[1],
+            "upper_tables": nbr_vec[2],
+            "unified_int8": True,
+        }
     return {"nbr_vectors": nbr_vec[1], "level0_tiles": nbr_vec[2]}
 
 
@@ -303,7 +312,32 @@ class HNSWIndex:
                     else ()
                 )
                 nbr_vec = ("unified", table, upper_tabs)
-            elif m0_pad <= 32:
+            elif (
+                2 * m0_pad <= 128
+                and m0_pad * d_pad % 512 == 0
+                and n_pad * (m0_pad * d_pad // 512 + 1) * 512
+                <= self.unified_max_bytes
+            ):
+                # bf16 rows don't fit but int8-quantized ones do (half the
+                # row: what lets one 16GiB chip serve N=2M). Upper tables
+                # stay bf16 (they're ~N/M rows).
+                from hnsw_tpu.ops.pallas_gather import (
+                    make_unified8_table_chunked,
+                )
+
+                table, _codes, _scales = make_unified8_table_chunked(
+                    x, dg.level0
+                )
+                upper_tabs = (
+                    jax.jit(make_upper_tables)(x, dg.upper, dg.upper_slot)
+                    if dg.max_level > 0
+                    else ()
+                )
+                nbr_vec = ("unified8", table, upper_tabs)
+            elif (
+                m0_pad <= 32
+                and n_pad * m0_pad * d_pad * 2 <= SPLIT_MAX_BYTES
+            ):
                 tab_bytes = n_pad * m0_pad * d_pad * 2
                 if tab_bytes > 2**31:
                     # single-shot build peaks ~2x table size (gather rows +
@@ -349,6 +383,10 @@ class HNSWIndex:
         if flags & 2:
             return False
         dg, x, sq, deleted, labels_np, nbr_vec = self._device
+        if nbr_vec is not None and nbr_vec[0] == "unified8":
+            # int8 rows have no delta path yet (would need the quantized
+            # code/scale side tables kept live) — full rebuild on mutation
+            return False
         n_pad = dg.n_pad
         sent = n_pad - 1
         n = b.size

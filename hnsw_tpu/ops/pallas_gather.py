@@ -285,6 +285,96 @@ def pack_unified_rows(
     return jnp.concatenate([packed, ids_row], axis=1)
 
 
+# ---------------------------------------------------------------------------
+# int8 unified node blocks: same one-DMA-per-expansion design at half the
+# bf16 row size (m0=32/d=128: 9 sublanes = 4.6KB vs 17 = 8.7KB), which is
+# what lets a 16GiB v5e serve N=2M. Per-vector symmetric quantization
+# (scale = max|x|/127); the scale rides in the id sublane's spare lanes.
+# Verified on v5e: pltpu.bitcast(int32[s,128] -> int8) unpacks sublane i
+# into int8 sublanes 4i..4i+3, little-endian byte order — the inverse of
+# lax.bitcast_convert_type packing 4 int8 along a trailing axis.
+# ---------------------------------------------------------------------------
+
+
+def unified8_row_sublanes(m0: int, d_pad: int) -> tuple[int, int]:
+    """(vector int32 sublanes sv8, total row sublanes) of an int8 unified
+    node block: m0*d_pad int8 codes packed 4-per-int32, + 1 id+scale
+    sublane. Requires m0*d_pad % 512 == 0 and m0 <= 42 (ids and scales
+    share the 128-lane id sublane: lanes 0..m0-1 ids, m0..2*m0-1 scales)."""
+    assert m0 * d_pad % 512 == 0 and 2 * m0 <= 128
+    sv8 = m0 * d_pad // 512
+    return sv8, sv8 + 1
+
+
+def quantize_int8(vectors: Array) -> tuple[Array, Array]:
+    """Per-vector symmetric int8 quantization → (codes [N, D] int8,
+    scales [N] f32). x ≈ codes * scale."""
+    amax = jnp.max(jnp.abs(vectors.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    codes = jnp.clip(
+        jnp.round(vectors.astype(jnp.float32) / scale[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return codes, scale.astype(jnp.float32)
+
+
+def pack_unified8_rows(
+    codes: Array,  # [N_pad, D_pad] int8 (pre-quantized, lane-padded)
+    scales: Array,  # [N_pad] f32
+    nbr_ids: Array,  # [K, m0]
+    sent: int,
+) -> Array:
+    """Pack neighbor blocks into int8 unified rows [K, s8, 128] int32:
+    sublanes 0..sv8-1 hold the m0 neighbors' int8 codes (4-per-int32),
+    the last sublane holds ids (lanes 0..m0-1, sentinel-padded) and the
+    neighbors' dequant scales as f32 bits (lanes m0..2m0-1)."""
+    k, m0 = nbr_ids.shape
+    d_pad = codes.shape[1]
+    sv8, _ = unified8_row_sublanes(m0, d_pad)
+    rows = jnp.take(codes, nbr_ids.reshape(-1), axis=0)  # [K*m0, d_pad]
+    quads = rows.reshape(k, sv8, 4, 128).transpose(0, 1, 3, 2)  # [K,sv8,128,4]
+    packed = jax.lax.bitcast_convert_type(quads, jnp.int32)  # [K, sv8, 128]
+    s_rows = jnp.take(scales, nbr_ids.reshape(-1), axis=0).reshape(k, m0)
+    s_bits = jax.lax.bitcast_convert_type(s_rows, jnp.int32)
+    ids_row = jnp.full((k, 128), sent, jnp.int32)
+    ids_row = jax.lax.dynamic_update_slice(
+        ids_row, nbr_ids.astype(jnp.int32), (0, 0)
+    )
+    ids_row = jax.lax.dynamic_update_slice(ids_row, s_bits, (0, m0))
+    return jnp.concatenate([packed, ids_row[:, None, :]], axis=1)
+
+
+def make_unified8_table_chunked(
+    vectors: Array, level0: Array, chunk: int = 1 << 17
+) -> tuple[Array, Array, Array]:
+    """Build the dense 2D int8 table [N_pad*s8, 128] plus the quantized
+    (codes, scales) side tables (kept for delta refreshes and as the
+    fallback distance source). Chunked donated accumulation bounds peak
+    HBM exactly like the bf16 builders."""
+    import functools as _ft
+
+    n_pad, m0 = level0.shape
+    d = vectors.shape[1]
+    d_pad = -(-d // 128) * 128
+    sv8, s8 = unified8_row_sublanes(m0, d_pad)
+    sent = n_pad - 1
+
+    codes, scales = quantize_int8(vectors)
+    if d_pad != d:
+        codes = jnp.pad(codes, ((0, 0), (0, d_pad - d)))
+    codes = jax.block_until_ready(codes)
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def upd(tab, cds, scl, lvl, start):
+        rows = pack_unified8_rows(cds, scl, lvl, sent).reshape(-1, 128)
+        return jax.lax.dynamic_update_slice(tab, rows, (start * s8, 0))
+
+    tab = jnp.zeros((n_pad * s8, 128), jnp.int32)
+    for s in range(0, n_pad, chunk):
+        e = min(s + chunk, n_pad)
+        tab = upd(tab, codes, scales, level0[s:e], jnp.int32(s))
+    return jax.block_until_ready(tab), codes, scales
+
+
 def make_upper_tables(
     vectors: Array, upper: Array, upper_slot: Array
 ) -> tuple[tuple[Array, Array], ...]:
@@ -374,6 +464,7 @@ def _hop_dist_unified_kernel(
     d_pad,
     ip,
     nbuf,
+    int8=False,
 ):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
@@ -415,8 +506,21 @@ def _hop_dist_unified_kernel(
     idrow = blk[:, sv, :].reshape(tb, e, 128)
     for j in range(e):
         ids_ref[:, j * m0 : (j + 1) * m0] = idrow[:, j, :m0]
-    vecs = pltpu.bitcast(blk[:, :sv, :], jnp.bfloat16)  # [tb*e, 2*sv, 128]
-    r32 = vecs.reshape(tb, em, d_pad).astype(jnp.float32)
+    if int8:
+        codes = pltpu.bitcast(blk[:, :sv, :], jnp.int8)  # [tb*e, 4sv, 128]
+        r32 = codes.reshape(tb, em, d_pad).astype(jnp.float32)
+        # per-neighbor dequant scales ride lanes m0..2m0-1 of the id sublane
+        sc_parts = [
+            pltpu.bitcast(idrow[:, j, m0 : 2 * m0], jnp.float32)
+            for j in range(e)
+        ]
+        sc = (
+            jnp.concatenate(sc_parts, axis=-1) if e > 1 else sc_parts[0]
+        )  # [tb, em]
+        r32 = r32 * sc[:, :, None]
+    else:
+        vecs = pltpu.bitcast(blk[:, :sv, :], jnp.bfloat16)  # [tb*e, 2sv, 128]
+        r32 = vecs.reshape(tb, em, d_pad).astype(jnp.float32)
     q32 = q_ref[:].astype(jnp.float32)[:, None, :]  # [tb, 1, d_pad]
     if ip:
         out_ref[:] = 1.0 - jnp.sum(r32 * q32, axis=-1)
@@ -426,7 +530,8 @@ def _hop_dist_unified_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("space", "m0", "tb", "interpret", "nbuf")
+    jax.jit,
+    static_argnames=("space", "m0", "tb", "interpret", "nbuf", "int8"),
 )
 def hop_dist_unified(
     q: Array,  # [B, D]
@@ -437,6 +542,7 @@ def hop_dist_unified(
     tb: int = 16,
     interpret: bool = False,
     nbuf: int = 2,
+    int8: bool = False,
 ) -> tuple[Array, Array]:
     """Expand `chosen` nodes with ONE contiguous DMA per (query, chosen):
     the unified row carries both the m0 neighbor vectors (bf16-packed) and
@@ -447,7 +553,11 @@ def hop_dist_unified(
     b, d = q.shape
     e = chosen.shape[1]
     d_pad = -(-d // 128) * 128
-    sv, s_data = unified_row_sublanes(m0, d_pad)
+    sv, s_data = (
+        unified8_row_sublanes(m0, d_pad)
+        if int8
+        else unified_row_sublanes(m0, d_pad)
+    )
     assert table.ndim == 2 and table.shape[0] % s_data == 0, (
         table.shape, s_data,
     )
@@ -465,6 +575,7 @@ def hop_dist_unified(
     kernel = functools.partial(
         _hop_dist_unified_kernel,
         tb=tb, e=e, m0=m0, sv=sv, d_pad=d_pad, ip=space == "ip", nbuf=nbuf,
+        int8=int8,
     )
     return pl.pallas_call(
         kernel,

@@ -212,6 +212,7 @@ class _BeamState(NamedTuple):
         "interpret",
         "tb",
         "nbuf",
+        "unified_int8",
     ),
 )
 def search_batch(
@@ -237,6 +238,7 @@ def search_batch(
     interpret: bool = False,
     tb: int = 16,  # hop-kernel query tile (queries per grid step)
     nbuf: int = 2,  # hop-kernel DMA pipeline depth (buffers in flight)
+    unified_int8: bool = False,  # unified_table rows are int8-quantized
 ) -> SearchResults:
     """Batched HNSW search over a device-resident padded-CSR graph.
 
@@ -354,7 +356,7 @@ def search_batch(
 
             d, nbrs = hop_dist_unified(
                 q, unified_table, chosen, max_m0, space, tb=tb,
-                interpret=interpret, nbuf=nbuf,
+                interpret=interpret, nbuf=nbuf, int8=unified_int8,
             )
         # Split fast path: one Pallas call per hop (contiguous DMAs for
         # vectors and the 32-node id tile), ids extracted with one-hot reduces.

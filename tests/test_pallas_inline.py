@@ -97,3 +97,60 @@ def test_make_inline_neighbors_chunked_parity(rng):
     a = make_inline_neighbors(x, lvl)
     b = make_inline_neighbors_chunked(x, lvl, chunk=100)  # uneven tail
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_unified8_kernel_parity(rng):
+    """int8 unified rows: hop distances must match the dequantized math."""
+    import jax.numpy as jnp
+
+    from hnsw_tpu.ops.pallas_gather import (
+        hop_dist_unified,
+        make_unified8_table_chunked,
+        quantize_int8,
+    )
+
+    n, d, m0 = 512, 128, 32
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    lvl = jnp.asarray(rng.integers(0, n - 1, size=(n, m0)).astype(np.int32))
+    tab, codes, scales = make_unified8_table_chunked(x, lvl, chunk=200)
+    q = jnp.asarray(rng.normal(size=(16, d)).astype(np.float32))
+    chosen = jnp.asarray(rng.integers(0, n - 1, size=(16, 2)).astype(np.int32))
+    dists, ids = hop_dist_unified(
+        q, tab, chosen, m0, "l2", interpret=True, int8=True
+    )
+    ids_ref = np.asarray(lvl)[np.asarray(chosen)]  # [16, 2, m0]
+    np.testing.assert_array_equal(
+        np.asarray(ids).reshape(16, 2, m0), ids_ref
+    )
+    deq = np.asarray(codes).astype(np.float32) * np.asarray(scales)[:, None]
+    rows = deq[ids_ref]  # [16, 2, m0, d]
+    d_ref = ((np.asarray(q)[:, None, None, :] - rows) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        np.asarray(dists).reshape(16, 2, m0), d_ref, rtol=1e-4, atol=1e-3
+    )
+
+
+def test_unified8_search_end_to_end(rng):
+    """Force the int8 tier via a budget between the int8 and bf16 table
+    sizes; search quality must match the bf16 path closely."""
+    from hnsw_tpu.models.hnsw import HNSWIndex
+
+    x = rng.normal(size=(2000, 128)).astype(np.float32)
+    idx = HNSWIndex("l2", dim=128, m=16, ef_construction=100,
+                    inline_neighbors=True)
+    idx.add_items(x)
+    # bf16 rows: 17 sublanes; int8: 9 — pick a budget between
+    n_pad = ((2000 + 1 + 125) // 128 + 1) * 128
+    idx.unified_max_bytes = 13 * 512 * n_pad
+    q = x[:64] + 0.01 * rng.normal(size=(64, 128)).astype(np.float32)
+    d8, l8 = idx.search(q, k=10, ef=100)
+    assert idx._device[5][0] == "unified8", idx._device[5][0]
+
+    idx.rebuild_device_tables(unified_max_bytes=10 * 2**30)
+    assert idx._device[5][0] == "unified"
+    d16, l16 = idx.search(q, k=10, ef=100)
+    overlap = np.mean([
+        len(set(l8[i]) & set(l16[i])) / 10 for i in range(64)
+    ])
+    assert overlap >= 0.95, overlap
+    assert np.mean(l8[:, 0] == np.arange(64)) >= 0.95
