@@ -79,6 +79,20 @@ def main():
         )
         log("unified-kernel parity: OK")
 
+        from hnsw_tpu.ops.pallas_gather import make_unified8_table_chunked
+
+        tab8, codes, scales = make_unified8_table_chunked(kv, lvl, chunk=200)
+        d8, id8 = hop_dist_unified(qv, tab8, chosen, 32, int8=True)
+        np.testing.assert_array_equal(
+            np.asarray(id8).reshape(16, 2, 32), ids_ref
+        )
+        deq = np.asarray(codes).astype(np.float32) * np.asarray(scales)[:, None]
+        d8_ref = ((np.asarray(qv)[:, None, None, :] - deq[ids_ref]) ** 2).sum(-1)
+        np.testing.assert_allclose(
+            np.asarray(d8).reshape(16, 2, 32), d8_ref, rtol=1e-3, atol=1e-2
+        )
+        log("unified8-kernel parity: OK")
+
     x = make_dataset(N, DIM, rng)
 
     t0 = time.time()
