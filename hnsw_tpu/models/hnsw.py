@@ -55,7 +55,7 @@ def _bucket(k: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("inline_kind", "has_sq"),
-    donate_argnums=(0, 1, 2, 3, 4),
+    donate_argnums=(0, 1, 2, 3, 4, 5, 6),
 )
 def _apply_row_deltas(
     x,  # [N_pad, D] vector table (donated)
@@ -63,12 +63,14 @@ def _apply_row_deltas(
     level0,  # [N_pad, m0_pad] (donated)
     nbr_vec,  # inline table / unified node-block table / dummy (donated)
     l0_tiles,  # tiled adjacency or dummy (donated)
+    codes,  # [N_pad, d_pad] int8 quantized vectors or dummy (donated)
+    scales,  # [N_pad] f32 dequant scales or dummy (donated)
     new_vecs,  # [Nb, D] appended vectors (zero-padded bucket)
     new_ids,  # [Nb] int32 destination rows (sentinel-padded)
     dirty_ids,  # [Kb] int32 (sentinel-padded bucket)
     dirty_rows,  # [Kb, m0_pad] int32 (sentinel-padded)
     *,
-    inline_kind: str,  # "off" | "split" | "unified"
+    inline_kind: str,  # "off" | "split" | "unified" | "unified8"
     has_sq: bool,
 ):
     """Apply insert deltas to the device-resident index in place: append new
@@ -83,9 +85,35 @@ def _apply_row_deltas(
         if has_sq:
             nsq = jnp.sum(new_vecs.astype(jnp.float32) ** 2, axis=-1)
             sq = sq.at[new_ids].set(nsq)
+        if inline_kind == "unified8":
+            from hnsw_tpu.ops.pallas_gather import quantize_int8
+
+            ncodes, nscales = quantize_int8(new_vecs)
+            d_pad8 = codes.shape[1]
+            if d_pad8 != ncodes.shape[1]:
+                ncodes = jnp.pad(
+                    ncodes, ((0, 0), (0, d_pad8 - ncodes.shape[1]))
+                )
+            codes = codes.at[new_ids].set(ncodes)
+            scales = scales.at[new_ids].set(nscales)
     if dirty_ids.shape[0]:
         level0 = level0.at[dirty_ids].set(dirty_rows)
-        if inline_kind == "unified":
+        if inline_kind == "unified8":
+            from hnsw_tpu.ops.pallas_gather import pack_unified8_rows
+
+            sent = level0.shape[0] - 1
+            rows8 = pack_unified8_rows(codes, scales, dirty_rows, sent)
+            s8 = rows8.shape[1]
+
+            def upd_row8(i, tab):
+                return jax.lax.dynamic_update_slice(
+                    tab, rows8[i], (dirty_ids[i] * s8, 0)
+                )
+
+            nbr_vec = jax.lax.fori_loop(
+                0, dirty_ids.shape[0], upd_row8, nbr_vec
+            )
+        elif inline_kind == "unified":
             from hnsw_tpu.ops.pallas_gather import pack_unified_rows
 
             sent = level0.shape[0] - 1
@@ -117,7 +145,7 @@ def _apply_row_deltas(
             nbr_vec = nbr_vec.at[dirty_ids].set(
                 rows_v.reshape(dirty_ids.shape[0], -1, d_pad)
             )
-    return x, sq, level0, nbr_vec, l0_tiles
+    return x, sq, level0, nbr_vec, l0_tiles, codes, scales
 
 
 def inline_search_kwargs(nbr_vec) -> dict:
@@ -325,7 +353,7 @@ class HNSWIndex:
                     make_unified8_table_chunked,
                 )
 
-                table, _codes, _scales = make_unified8_table_chunked(
+                table, codes, scales = make_unified8_table_chunked(
                     x, dg.level0
                 )
                 upper_tabs = (
@@ -333,7 +361,8 @@ class HNSWIndex:
                     if dg.max_level > 0
                     else ()
                 )
-                nbr_vec = ("unified8", table, upper_tabs)
+                # the quantized side tables stay live for row-delta refresh
+                nbr_vec = ("unified8", table, upper_tabs, codes, scales)
             elif (
                 m0_pad <= 32
                 and n_pad * m0_pad * d_pad * 2 <= SPLIT_MAX_BYTES
@@ -383,10 +412,6 @@ class HNSWIndex:
         if flags & 2:
             return False
         dg, x, sq, deleted, labels_np, nbr_vec = self._device
-        if nbr_vec is not None and nbr_vec[0] == "unified8":
-            # int8 rows have no delta path yet (would need the quantized
-            # code/scale side tables kept live) — full rebuild on mutation
-            return False
         n_pad = dg.n_pad
         sent = n_pad - 1
         n = b.size
@@ -427,18 +452,26 @@ class HNSWIndex:
 
         kind = "off" if nbr_vec is None else nbr_vec[0]
         dummy_t = jnp.zeros((1, 1, 1), jnp.int32)
+        dummy_c = jnp.zeros((1, 1), jnp.int8)
+        dummy_s = jnp.zeros((1,), jnp.float32)
+        cds, scl = dummy_c, dummy_s
         if kind == "unified":
             nv, l0t = nbr_vec[1], dummy_t
+        elif kind == "unified8":
+            nv, l0t = nbr_vec[1], dummy_t
+            cds, scl = nbr_vec[3], nbr_vec[4]
         elif kind == "split":
             nv, l0t = nbr_vec[1], nbr_vec[2]
         else:
             nv, l0t = jnp.zeros((1, 1, 1), jnp.bfloat16), dummy_t
-        x, sq2, level0, nv, l0t = _apply_row_deltas(
+        x, sq2, level0, nv, l0t, cds, scl = _apply_row_deltas(
             x,
             sq if sq is not None else jnp.zeros((1,), jnp.float32),
             dg.level0,
             nv,
             l0t,
+            cds,
+            scl,
             jnp.asarray(new_vecs),
             jnp.asarray(new_ids),
             jnp.asarray(dirty_ids),
@@ -451,6 +484,8 @@ class HNSWIndex:
             # keep the (unchanged) upper-level tables — dropping them made
             # the tag a 2-tuple and broke inline_search_kwargs downstream
             nbr_vec = ("unified", nv, nbr_vec[2])
+        elif kind == "unified8":
+            nbr_vec = ("unified8", nv, nbr_vec[2], cds, scl)
         elif kind == "split":
             nbr_vec = ("split", nv, l0t)
         else:
@@ -475,16 +510,17 @@ class HNSWIndex:
             lab_dev[:n] = labels_np[:n]
             rep["labels"] = jnp.asarray(lab_dev)
         dg = dataclasses.replace(dg, **rep)
-        if kind == "unified" and (flags & 1) and dg.max_level > 0:
+        if (
+            kind in ("unified", "unified8")
+            and (flags & 1)
+            and dg.max_level > 0
+        ):
             # upper tables reference upper adjacency + vectors: rebuild
             # (small, ~N/M rows) after both were updated
             from hnsw_tpu.ops.pallas_gather import make_upper_tables
 
-            nbr_vec = (
-                "unified",
-                nbr_vec[1],
-                jax.jit(make_upper_tables)(x, dg.upper, dg.upper_slot),
-            )
+            upper_tabs = jax.jit(make_upper_tables)(x, dg.upper, dg.upper_slot)
+            nbr_vec = (kind, nbr_vec[1], upper_tabs) + tuple(nbr_vec[3:])
         self._device = (dg, x, sq, deleted, labels_np, nbr_vec)
         self._synced_n = n
         return True

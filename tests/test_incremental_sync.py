@@ -136,7 +136,9 @@ def test_replace_deleted_appends_when_none_deleted():
     np.testing.assert_array_equal(l[:, 0], [200, 201, 202])
 
 
-@pytest.mark.parametrize("kind_budget", [("unified", None), ("split", 0)])
+@pytest.mark.parametrize(
+    "kind_budget", [("unified", None), ("unified8", "mid"), ("split", 0)]
+)
 def test_incremental_sync_inline_tables(rng, kind_budget):
     """Delta syncs with inline tables forced on (CPU interpret mode): the
     tagged tuple must stay well-formed across incremental updates — the
@@ -147,7 +149,10 @@ def test_incremental_sync_inline_tables(rng, kind_budget):
     x = _data(600)
     idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=60,
                     inline_neighbors=True)
-    if budget is not None:
+    if budget == "mid":
+        # between the int8 (5-sublane) and bf16 (9-sublane) row sizes
+        idx.unified_max_bytes = 7 * 512 * 640
+    elif budget is not None:
         idx.unified_max_bytes = budget  # force the split layout
     idx.add_items(x)
     idx.search(x[:16], k=3, ef=40)
@@ -156,7 +161,8 @@ def test_incremental_sync_inline_tables(rng, kind_budget):
     d, l = idx.search(x[:16], k=3, ef=40)
     assert idx._last_sync_mode == "delta"
     nbr_vec = idx._device[5]
-    assert nbr_vec[0] == kind and len(nbr_vec) == 3
+    assert nbr_vec[0] == kind
+    assert len(nbr_vec) == (5 if kind == "unified8" else 3)
     from hnsw_tpu.models.hnsw import inline_search_kwargs
 
     assert set(inline_search_kwargs(nbr_vec))  # must not raise
