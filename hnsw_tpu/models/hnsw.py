@@ -319,72 +319,11 @@ class HNSWIndex:
         )
         nbr_vec = None
         if self.inline_neighbors:
-            from hnsw_tpu.ops.pallas_gather import (
-                make_inline_neighbors,
-                make_level0_tiles,
-                make_unified_table,
-                make_upper_tables,
-                unified_row_sublanes,
+            from hnsw_tpu.ops.pallas_gather import build_inline_tables
+
+            nbr_vec = build_inline_tables(
+                x, dg, self.dim, self.unified_max_bytes, SPLIT_MAX_BYTES
             )
-
-            m0_pad = dg.level0.shape[1]
-            d_pad = round_up(self.dim, 128)
-            _, s_row = unified_row_sublanes(m0_pad, d_pad)
-            if m0_pad <= 128 and n_pad * s_row * 512 <= self.unified_max_bytes:
-                from hnsw_tpu.ops.pallas_gather import make_unified_table_chunked
-
-                table = make_unified_table_chunked(x, dg.level0)
-                upper_tabs = (
-                    jax.jit(make_upper_tables)(x, dg.upper, dg.upper_slot)
-                    if dg.max_level > 0
-                    else ()
-                )
-                nbr_vec = ("unified", table, upper_tabs)
-            elif (
-                2 * m0_pad <= 128
-                and m0_pad * d_pad % 512 == 0
-                and n_pad * (m0_pad * d_pad // 512 + 1) * 512
-                <= self.unified_max_bytes
-            ):
-                # bf16 rows don't fit but int8-quantized ones do (half the
-                # row: what lets one 16GiB chip serve N=2M). Upper tables
-                # stay bf16 (they're ~N/M rows).
-                from hnsw_tpu.ops.pallas_gather import (
-                    make_unified8_table_chunked,
-                )
-
-                table, codes, scales = make_unified8_table_chunked(
-                    x, dg.level0
-                )
-                upper_tabs = (
-                    jax.jit(make_upper_tables)(x, dg.upper, dg.upper_slot)
-                    if dg.max_level > 0
-                    else ()
-                )
-                # the quantized side tables stay live for row-delta refresh
-                nbr_vec = ("unified8", table, upper_tabs, codes, scales)
-            elif (
-                m0_pad <= 32
-                and n_pad * m0_pad * d_pad * 2 <= SPLIT_MAX_BYTES
-            ):
-                tab_bytes = n_pad * m0_pad * d_pad * 2
-                if tab_bytes > 2**31:
-                    # single-shot build peaks ~2x table size (gather rows +
-                    # XLA's layout copy) — an HBM-edge OOM at 1M scale that
-                    # can poison the relay process; chunk it instead
-                    from hnsw_tpu.ops.pallas_gather import (
-                        make_inline_neighbors_chunked,
-                    )
-
-                    t = make_inline_neighbors_chunked(x, dg.level0)
-                else:
-                    t = jax.block_until_ready(
-                        make_inline_neighbors(x, dg.level0)
-                    )
-                l0_tiles = jax.block_until_ready(
-                    jax.jit(make_level0_tiles)(dg.level0)
-                )
-                nbr_vec = ("split", t, l0_tiles)
         deleted = np.zeros(n_pad, dtype=bool)
         deleted[:n] = self._builder.export_deleted().astype(bool)
         labels_np = np.full(n_pad, -1, dtype=np.int64)

@@ -610,6 +610,57 @@ def hop_dist_unified(
     )(chosen_packed, q, table)
 
 
+def build_inline_tables(x, dg, dim, unified_max_bytes, split_max_bytes):
+    """Choose and build the inline fast-path tables for a device graph —
+    the ONE place the tier ladder lives (HNSWIndex._full_sync and the query
+    service both use it):
+
+      1. bf16 unified node blocks   (fastest; 17 sublanes/row at m0=32,d=128)
+      2. int8 unified node blocks   (half the row; the N=2M-per-chip tier)
+      3. split bf16 table + id tiles (bulk-build wave workhorse)
+      4. None                        (XLA-gather fallback; any shape)
+
+    Returns the tagged tuple for inline_search_kwargs, or None."""
+    import jax as _jax
+
+    n_pad, m0_pad = dg.level0.shape
+    d_pad = -(-dim // 128) * 128
+
+    def upper_tabs():
+        return (
+            _jax.jit(make_upper_tables)(x, dg.upper, dg.upper_slot)
+            if dg.max_level > 0
+            else ()
+        )
+
+    _, s_row = unified_row_sublanes(m0_pad, d_pad)
+    if m0_pad <= 128 and n_pad * s_row * 512 <= unified_max_bytes:
+        return ("unified", make_unified_table_chunked(x, dg.level0),
+                upper_tabs())
+    if (
+        2 * m0_pad <= 128
+        and m0_pad * d_pad % 512 == 0
+        and n_pad * (m0_pad * d_pad // 512 + 1) * 512 <= unified_max_bytes
+    ):
+        table, codes, scales = make_unified8_table_chunked(x, dg.level0)
+        # the quantized side tables stay live for row-delta refresh
+        return ("unified8", table, upper_tabs(), codes, scales)
+    if m0_pad <= 32 and n_pad * m0_pad * d_pad * 2 <= split_max_bytes:
+        tab_bytes = n_pad * m0_pad * d_pad * 2
+        if tab_bytes > 2**31:
+            # single-shot build peaks ~2x table size (gather rows + XLA's
+            # layout copy) — an HBM-edge OOM at 1M scale that can poison
+            # the relay process; chunk it instead
+            t = make_inline_neighbors_chunked(x, dg.level0)
+        else:
+            t = jax.block_until_ready(make_inline_neighbors(x, dg.level0))
+        l0_tiles = jax.block_until_ready(
+            _jax.jit(make_level0_tiles)(dg.level0)
+        )
+        return ("split", t, l0_tiles)
+    return None
+
+
 def make_inline_neighbors(
     vectors: Array, level0: Array, dtype=jnp.bfloat16
 ) -> Array:

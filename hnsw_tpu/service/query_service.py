@@ -60,47 +60,15 @@ class _Engine:
         self.sq = jnp.sum(self.x * self.x, axis=-1) if space == "l2" else None
         self.inline = None  # tagged tuple, same scheme as HNSWIndex
         if jax.default_backend() == "tpu":
-            from hnsw_tpu.core.graph import round_up as _ru
-            from hnsw_tpu.ops.pallas_gather import (
-                make_inline_neighbors,
-                make_level0_tiles,
-                make_unified_table_chunked,
-                make_upper_tables,
-                unified_row_sublanes,
+            from hnsw_tpu.models.hnsw import SPLIT_MAX_BYTES, UNIFIED_MAX_BYTES
+            from hnsw_tpu.ops.pallas_gather import build_inline_tables
+
+            # the SAME tier ladder as HNSWIndex._full_sync (bf16 unified →
+            # int8 unified → split → gathers), so the service serves 2M+
+            # indexes through the int8 tier instead of OOMing on split
+            self.inline = build_inline_tables(
+                self.x, self.dg, self.dim, UNIFIED_MAX_BYTES, SPLIT_MAX_BYTES
             )
-
-            m0_pad = self.dg.level0.shape[1]
-            d_pad = _ru(self.dim, 128)
-            from hnsw_tpu.models.hnsw import UNIFIED_MAX_BYTES
-
-            if m0_pad <= 128:
-                _, s_row = unified_row_sublanes(m0_pad, d_pad)
-            if m0_pad <= 128 and n_pad * s_row * 512 <= UNIFIED_MAX_BYTES:
-                table = make_unified_table_chunked(self.x, self.dg.level0)
-                upper_tabs = (
-                    jax.jit(make_upper_tables)(
-                        self.x, self.dg.upper, self.dg.upper_slot
-                    )
-                    if self.dg.max_level > 0
-                    else ()
-                )
-                self.inline = ("unified", table, upper_tabs)
-            elif m0_pad <= 32:
-                from hnsw_tpu.ops.pallas_gather import (
-                    make_inline_neighbors_chunked,
-                )
-
-                t = (
-                    make_inline_neighbors_chunked(self.x, self.dg.level0)
-                    if n_pad * m0_pad * d_pad * 2 > 2**31
-                    else jax.block_until_ready(
-                        make_inline_neighbors(self.x, self.dg.level0)
-                    )
-                )
-                l0t = jax.block_until_ready(
-                    jax.jit(make_level0_tiles)(self.dg.level0)
-                )
-                self.inline = ("split", t, l0t)
         self.labels_np = np.asarray(jax.device_get(self.dg.labels))
         # markDelete semantics (hnswalg.h:853-900): delete-marked elements
         # must never be returned; HNSWIndex.search does this via an eligible
