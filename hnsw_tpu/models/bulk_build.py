@@ -225,6 +225,21 @@ def _recursive_upper_phase(
     return b_new
 
 
+def _data_fingerprint(data: np.ndarray) -> str:
+    """Cheap input-data identity for checkpoint resume validation: hash of
+    the first and last rows plus the shape (full-array hashing would cost
+    seconds at 1M; corrupt partial overlap with identical endpoints is not a
+    realistic failure here)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.asarray(data.shape, np.int64).tobytes())
+    if data.size:
+        h.update(np.ascontiguousarray(data[0]).tobytes())
+        h.update(np.ascontiguousarray(data[-1]).tobytes())
+    return h.hexdigest()[:16]
+
+
 def bulk_build(
     data: np.ndarray,
     labels: np.ndarray | None = None,
@@ -289,7 +304,18 @@ def bulk_build(
     if checkpoint and os.path.exists(state_path) and os.path.exists(ckpt_path):
         with open(state_path) as f:
             st = json.load(f)
-        if st.get("n") == n and st.get("seed") == seed and st.get("m") == m:
+        # full config + cheap data fingerprint: a stale checkpoint at the
+        # same path from a different dataset/config must NOT silently resume
+        # (vectors replay from the NEW data against the OLD graph)
+        if (
+            st.get("n") == n
+            and st.get("seed") == seed
+            and st.get("m") == m
+            and st.get("dim") == int(data.shape[1])
+            and st.get("space") == space.persist_name
+            and st.get("efc") == ef_construction
+            and st.get("fp") == _data_fingerprint(data)
+        ):
             from hnsw_tpu.io.checkpoint import load_checkpoint
             from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
 
@@ -361,14 +387,21 @@ def bulk_build(
             b.export_graph(),
             np.zeros((0, 0), np.float32),
             b.export_deleted(),
-            meta={"space": space.name, "dim": space.dim, "m": m,
+            meta={"space": space.persist_name, "dim": space.dim, "m": m,
                   "ef_construction": ef_construction},
             compress=False,
             include_vectors=False,
         )
         os.replace(ckpt_path + ".tmp.npz", ckpt_path)
         with open(state_path + ".tmp", "w") as f:
-            json.dump({"pos": pos, "wave": wave, "n": n, "seed": seed, "m": m}, f)
+            json.dump(
+                {
+                    "pos": pos, "wave": wave, "n": n, "seed": seed, "m": m,
+                    "dim": int(data.shape[1]), "space": space.persist_name,
+                    "efc": ef_construction, "fp": _data_fingerprint(data),
+                },
+                f,
+            )
         os.replace(state_path + ".tmp", state_path)
         if verbose:
             print(f"  checkpoint @pos={pos}: {time.time() - t0:.1f}s")

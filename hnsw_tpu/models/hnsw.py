@@ -342,10 +342,14 @@ class HNSWIndex:
         self._device = (dg, x, sq, deleted, labels_np, nbr_vec)
 
     def _try_incremental_sync(self) -> bool:
-        """Apply insert deltas (changed level-0 rows + appended vectors) to
-        the live device arrays. Returns False when only a full rebuild is
-        correct: in-place vector updates (stale inline rows are non-local) or
-        growth past the padded capacity."""
+        """Apply insert AND in-place-update deltas (changed level-0 rows,
+        appended/updated vector rows) to the live device arrays. An update's
+        staleness is local after all: the only device rows embedding the old
+        vector are its level-0 in-neighbors' inline rows (found by the
+        native engine's flush_updates scan) plus the small upper tables
+        (rebuilt wholesale on upper_dirty). Returns False only on growth
+        past the padded capacity (reference analog: updatePoint repairs
+        locally too, hnswalg.h:995-1150)."""
         b = self._builder
         flags = b.dirty_flags
         if flags & 2:
@@ -358,10 +362,12 @@ class HNSWIndex:
         if n + 1 > n_pad:
             return False
         n_new = n - old_n
-        nb = _bucket(n_new)
+        n_upd = b.flush_updates()  # must precede take_dirty
+        vec_ids = b.take_vec_dirty(n_upd)
+        nb = _bucket(n_new + n_upd)
         dirty_ids = b.take_dirty()
         k = dirty_ids.shape[0]
-        if k == 0 and n_new == 0 and not (flags & 1):
+        if k == 0 and n_new == 0 and n_upd == 0 and not (flags & 1):
             return True
         m0_pad = dg.level0.shape[1]
         rows = b.export_level0_rows(dirty_ids)
@@ -388,6 +394,10 @@ class HNSWIndex:
         if n_new:
             new_vecs[:n_new] = b.export_vectors_range(old_n, n_new)
             new_ids[:n_new] = np.arange(old_n, n, dtype=np.int32)
+        if n_upd:
+            # in-place updates ride the same scatter as appended rows
+            new_vecs[n_new : n_new + n_upd] = b.export_vectors_rows(vec_ids)
+            new_ids[n_new : n_new + n_upd] = vec_ids
 
         kind = "off" if nbr_vec is None else nbr_vec[0]
         dummy_t = jnp.zeros((1, 1, 1), jnp.int32)
@@ -430,9 +440,19 @@ class HNSWIndex:
         else:
             nbr_vec = None
 
+        labels_changed = n_new > 0
         if n_new:
             labels_np = labels_np.copy()
             labels_np[old_n:n] = b.export_labels_range(old_n, n_new)
+        if n_upd:
+            # a replace_deleted reuse changes the label at the updated slot
+            for i in vec_ids:
+                lab = b.export_labels_range(int(i), 1)[0]
+                if labels_np[i] != lab:
+                    if not labels_changed:
+                        labels_np = labels_np.copy()
+                        labels_changed = True
+                    labels_np[i] = lab
         rep = {"level0": level0, "num_nodes": jnp.asarray(n, jnp.int32)}
         if flags & 1:
             # upper levels / entry changed: re-derive the (small) upper
@@ -444,7 +464,7 @@ class HNSWIndex:
                 upper_slot=jnp.asarray(upper_slot),
                 entry_point=jnp.asarray(g.entry_point, jnp.int32),
             )
-        if n_new:
+        if labels_changed:
             lab_dev = np.full(n_pad, -1, dtype=np.int64)
             lab_dev[:n] = labels_np[:n]
             rep["labels"] = jnp.asarray(lab_dev)
@@ -568,9 +588,26 @@ class HNSWIndex:
         )
         return dists, labels
 
-    def search_cpu(self, queries: np.ndarray, k: int = 10, ef: int = 200):
-        """Single-core native CPU search (baseline parity path)."""
-        return self._builder.search_batch(self.space.preprocess(queries), k, ef)
+    def search_cpu(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        ef: int = 200,
+        *,
+        filter_labels: np.ndarray | None = None,
+    ):
+        """Single-core native CPU search (baseline parity path).
+
+        `filter_labels` mirrors the device path's BaseFilterFunctor mask
+        (hnswlib/hnswlib.h:128-132, hnswalg.h:1271): a bool mask over
+        external labels, so filtered device queries have a CPU oracle."""
+        eligible = None
+        if filter_labels is not None:
+            labs = self._builder.export_graph().labels
+            eligible = np.asarray(filter_labels, dtype=bool)[labs]
+        return self._builder.search_batch(
+            self.space.preprocess(queries), k, ef, eligible=eligible
+        )
 
     # -- persistence (reference: saveIndex/loadIndex hnswalg.h:685-822 and
     # the .adj export, index_builder/build.cpp:22-107) ----------------------

@@ -157,4 +157,19 @@ def load_builder_lib() -> ctypes.CDLL:
     lib.hnsw_export_labels_range.argtypes = [
         c.c_void_p, c.c_int64, c.c_int64, P(c.c_int64)
     ]
+    lib.hnsw_flush_updates.argtypes = [c.c_void_p]
+    lib.hnsw_flush_updates.restype = c.c_int64
+    lib.hnsw_take_vec_dirty.argtypes = [c.c_void_p, P(c.c_int32)]
+    lib.hnsw_export_vectors_rows.argtypes = [
+        c.c_void_p, P(c.c_int32), c.c_int64, P(c.c_float)
+    ]
+    lib.hnsw_search_filtered.argtypes = [
+        c.c_void_p, P(c.c_float), c.c_int, c.c_int, P(c.c_uint8),
+        P(c.c_int64), P(c.c_float),
+    ]
+    lib.hnsw_search_filtered.restype = c.c_int
+    lib.hnsw_search_batch_filtered.argtypes = [
+        c.c_void_p, P(c.c_float), c.c_int64, c.c_int, c.c_int, P(c.c_uint8),
+        P(c.c_int64), P(c.c_float), P(c.c_int32),
+    ]
     return lib

@@ -167,6 +167,14 @@ struct HnswBuilder {
   std::atomic<bool> full_dirty{false};
   mutable std::mutex dirty_mutex;
 
+  // In-place vector updates tracked by id (updatePoint analog): the device
+  // applies them as row deltas — new vector row + refreshed inline rows of
+  // every level-0 IN-neighbor (found by flush_updates' one-pass scan) —
+  // instead of the full table rebuild the round-2 design did (minutes at 1M
+  // for a single update).
+  std::vector<uint8_t> vec_dirty0;
+  std::vector<int32_t> vec_dirty_list;
+
   void mark0(uint32_t id) {
     std::lock_guard<std::mutex> g(dirty_mutex);
     if (dirty0.size() < n) dirty0.resize(n, 0);
@@ -175,10 +183,44 @@ struct HnswBuilder {
       dirty_list.push_back(int32_t(id));
     }
   }
+  void mark_vec(uint32_t id) {
+    std::lock_guard<std::mutex> g(dirty_mutex);
+    if (vec_dirty0.size() < n) vec_dirty0.resize(n, 0);
+    if (!vec_dirty0[id]) {
+      vec_dirty0[id] = 1;
+      vec_dirty_list.push_back(int32_t(id));
+    }
+  }
+  // Mark every node whose level-0 row references an updated vector (their
+  // inline neighbor-vector rows embed the stale bytes). One O(N * maxM0)
+  // pass — ~100ms at 1M, vs minutes for the full-table rebuild it replaces.
+  // Returns the number of pending vector updates.
+  int64_t flush_updates() {
+    std::lock_guard<std::mutex> g(dirty_mutex);
+    if (vec_dirty_list.empty()) return 0;
+    if (vec_dirty0.size() < n) vec_dirty0.resize(n, 0);
+    if (dirty0.size() < n) dirty0.resize(n, 0);
+    for (size_t i = 0; i < n; ++i) {
+      if (dirty0[i]) continue;
+      const int32_t* row = links0.data() + i * size_t(maxM0);
+      int c = cnt0[i];
+      for (int j = 0; j < c; ++j) {
+        int32_t nb = row[j];
+        if (nb >= 0 && size_t(nb) < vec_dirty0.size() && vec_dirty0[nb]) {
+          dirty0[i] = 1;
+          dirty_list.push_back(int32_t(i));
+          break;
+        }
+      }
+    }
+    return int64_t(vec_dirty_list.size());
+  }
   void clear_dirty() {
     std::lock_guard<std::mutex> g(dirty_mutex);
     std::fill(dirty0.begin(), dirty0.end(), 0);
     dirty_list.clear();
+    std::fill(vec_dirty0.begin(), vec_dirty0.end(), 0);
+    vec_dirty_list.clear();
     upper_dirty = false;
     full_dirty = false;
   }
@@ -271,9 +313,13 @@ struct HnswBuilder {
 
   // ef-bounded beam search on one level (semantics of searchBaseLayer,
   // hnswalg.h:226-305). Returns a max-heap of up to `ef` (dist, id).
+  // `elig` (optional, per internal id): BaseFilterFunctor semantics
+  // (hnswlib/hnswlib.h:128-132, applied at hnswalg.h:1271/searchBaseLayerST):
+  // ineligible nodes are traversed but never enter the result heap.
   MaxHeap search_layer(const float* q, uint32_t ep, int level, int ef,
                        bool skip_deleted_results = false, bool locked = false,
-                       VisitedSet* vis = nullptr) const {
+                       VisitedSet* vis = nullptr,
+                       const uint8_t* elig = nullptr) const {
     VisitedSet& visited = vis ? *vis : this->visited;
     visited.ensure(n);
     visited.reset();
@@ -284,7 +330,7 @@ struct HnswBuilder {
     visited.test_and_set(ep);
     candidates.push({d0, ep});
     float lower_bound;
-    if (!skip_deleted_results || !deleted[ep]) {
+    if ((!skip_deleted_results || !deleted[ep]) && (!elig || elig[ep])) {
       results.push({d0, ep});
       lower_bound = d0;
     } else {
@@ -312,7 +358,8 @@ struct HnswBuilder {
         float d = dist(q, vec(cand));
         if (results.size() < size_t(ef) || d < lower_bound) {
           candidates.push({d, cand});
-          if (!skip_deleted_results || !deleted[cand]) {
+          if ((!skip_deleted_results || !deleted[cand]) &&
+              (!elig || elig[cand])) {
             results.push({d, cand});
             if (results.size() > size_t(ef)) results.pop();
           }
@@ -556,10 +603,17 @@ struct HnswBuilder {
 
   // Update an existing element's vector and repair its links (updatePoint /
   // repairConnectionsForUpdate semantics, hnswalg.h:995-1150, simplified to
-  // a full re-link of the node at its existing levels).
+  // a full re-link of the node at its existing levels). The vector change
+  // propagates to the device as a row delta: mark_vec records the id, and
+  // flush_updates later marks every level-0 in-neighbor dirty (their inline
+  // rows embed this vector). Upper-table rows embed it too when the node
+  // lives above level 0 — upper tables are small and rebuilt wholesale on
+  // upper_dirty.
   void update(uint32_t id, const float* v) {
     std::memcpy(data.data() + size_t(id) * dim, v, sizeof(float) * dim);
-    full_dirty = true;  // in-place vector change staleness is non-local
+    mark_vec(id);
+    mark0(id);  // its own row is re-linked below
+    if (node_level[id] > 0) upper_dirty = true;
     if (deleted[id]) {
       deleted[id] = 0;
       --num_deleted;
@@ -639,14 +693,18 @@ struct HnswBuilder {
   }
 
   // Query search (searchKnn semantics, hnswalg.h:1271-1324). Deleted
-  // elements are traversed but excluded from results.
+  // elements are traversed but excluded from results. `elig` (optional,
+  // per internal id) is the BaseFilterFunctor analog (hnswlib.h:128-132):
+  // filtered nodes are traversed but excluded from results — the CPU
+  // parity oracle for the device path's `eligible` mask.
   int search(const float* q, int k, int ef, int64_t* out_labels,
-             float* out_dists) const {
+             float* out_dists, const uint8_t* elig = nullptr) const {
     if (n == 0 || entry_point < 0) return 0;
     uint32_t ep = uint32_t(entry_point);
     float ep_d = dist(q, vec(ep));
     for (int l = max_level; l > 0; --l) ep = greedy_level(q, ep, l, &ep_d);
-    MaxHeap top = search_layer(q, ep, 0, std::max(ef, k), num_deleted > 0);
+    MaxHeap top = search_layer(q, ep, 0, std::max(ef, k), num_deleted > 0,
+                               false, nullptr, elig);
     std::vector<Cand> res;
     res.reserve(top.size());
     while (!top.empty()) {
@@ -882,6 +940,26 @@ int hnsw_search(HnswBuilder* b, const float* q, int k, int ef,
   return b->search(q, k, ef, out_labels, out_dists);
 }
 
+// Filtered search: `eligible` is a per-internal-id mask (1 = allowed), the
+// CPU parity oracle for the device path's BaseFilterFunctor mask
+// (hnswlib/hnswlib.h:128-132, hnswalg.h:1271).
+int hnsw_search_filtered(HnswBuilder* b, const float* q, int k, int ef,
+                         const uint8_t* eligible, int64_t* out_labels,
+                         float* out_dists) {
+  return b->search(q, k, ef, out_labels, out_dists, eligible);
+}
+
+void hnsw_search_batch_filtered(HnswBuilder* b, const float* qs, int64_t nq,
+                                int k, int ef, const uint8_t* eligible,
+                                int64_t* out_labels, float* out_dists,
+                                int32_t* out_counts) {
+  for (int64_t i = 0; i < nq; ++i) {
+    out_counts[i] = b->search(qs + size_t(i) * b->dim, k, ef,
+                              out_labels + size_t(i) * k,
+                              out_dists + size_t(i) * k, eligible);
+  }
+}
+
 int hnsw_add_replace(HnswBuilder* b, const float* vec, int64_t label) {
   return b->insert_replace(vec, label);
 }
@@ -912,6 +990,29 @@ void hnsw_take_dirty(HnswBuilder* b, int32_t* out) {
 }
 
 void hnsw_clear_dirty(HnswBuilder* b) { b->clear_dirty(); }
+
+// Pending in-place vector updates: flush merges their level-0 in-neighbors
+// into the dirty-row list (call BEFORE hnsw_dirty_count / hnsw_take_dirty)
+// and returns the pending-update count; take copies the updated ids and
+// clears the vec-dirty state.
+int64_t hnsw_flush_updates(HnswBuilder* b) { return b->flush_updates(); }
+
+void hnsw_take_vec_dirty(HnswBuilder* b, int32_t* out) {
+  std::lock_guard<std::mutex> g(b->dirty_mutex);
+  std::memcpy(out, b->vec_dirty_list.data(),
+              b->vec_dirty_list.size() * sizeof(int32_t));
+  std::fill(b->vec_dirty0.begin(), b->vec_dirty0.end(), 0);
+  b->vec_dirty_list.clear();
+}
+
+void hnsw_export_vectors_rows(HnswBuilder* b, const int32_t* ids, int64_t k,
+                              float* out) {
+  for (int64_t i = 0; i < k; ++i) {
+    std::memcpy(out + i * b->dim,
+                b->data.data() + size_t(uint32_t(ids[i])) * b->dim,
+                size_t(b->dim) * sizeof(float));
+  }
+}
 
 void hnsw_export_level0_rows(HnswBuilder* b, const int32_t* ids, int64_t k,
                              int32_t* out) {

@@ -208,6 +208,29 @@ class NativeHNSWBuilder:
     def clear_dirty(self) -> None:
         self.lib.hnsw_clear_dirty(self._h)
 
+    def flush_updates(self) -> int:
+        """Merge pending in-place vector updates' level-0 in-neighbors into
+        the dirty-row list (their inline rows embed the stale vectors); call
+        BEFORE take_dirty. Returns the pending update count."""
+        return int(self.lib.hnsw_flush_updates(self._h))
+
+    def take_vec_dirty(self, count: int) -> np.ndarray:
+        """Ids whose vectors changed in place since the last take; clears the
+        vec-dirty state. `count` comes from flush_updates()."""
+        out = np.empty(count, dtype=np.int32)
+        if count:
+            self.lib.hnsw_take_vec_dirty(self._h, _ptr(out, _I32P))
+        return out
+
+    def export_vectors_rows(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.ascontiguousarray(ids, dtype=np.int32).reshape(-1)
+        out = np.empty((len(ids), self.dim), dtype=np.float32)
+        if len(ids):
+            self.lib.hnsw_export_vectors_rows(
+                self._h, _ptr(ids, _I32P), len(ids), _ptr(out, _F32P)
+            )
+        return out
+
     def export_level0_rows(self, ids: np.ndarray) -> np.ndarray:
         ids = np.ascontiguousarray(ids, dtype=np.int32).reshape(-1)
         max_m0 = int(self.lib.hnsw_max_m0(self._h))
@@ -289,25 +312,54 @@ class NativeHNSWBuilder:
 
     # -- CPU search (baseline / parity) --------------------------------------
 
-    def search(self, q: np.ndarray, k: int, ef: int) -> tuple[np.ndarray, np.ndarray]:
+    def search(
+        self,
+        q: np.ndarray,
+        k: int,
+        ef: int,
+        eligible: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """`eligible`: optional per-internal-id bool mask — the CPU parity
+        oracle for the device filter path (BaseFilterFunctor semantics,
+        hnswlib/hnswlib.h:128-132)."""
         qv = np.ascontiguousarray(q, dtype=np.float32).reshape(self.dim)
         out_l = np.full(k, -1, dtype=np.int64)
         out_d = np.full(k, np.inf, dtype=np.float32)
-        cnt = self.lib.hnsw_search(
-            self._h, _ptr(qv, _F32P), k, ef, _ptr(out_l, _I64P), _ptr(out_d, _F32P)
-        )
+        if eligible is None:
+            cnt = self.lib.hnsw_search(
+                self._h, _ptr(qv, _F32P), k, ef, _ptr(out_l, _I64P), _ptr(out_d, _F32P)
+            )
+        else:
+            el = np.ascontiguousarray(eligible, dtype=np.uint8).reshape(-1)
+            assert len(el) == self.size
+            cnt = self.lib.hnsw_search_filtered(
+                self._h, _ptr(qv, _F32P), k, ef, _ptr(el, _U8P),
+                _ptr(out_l, _I64P), _ptr(out_d, _F32P),
+            )
         return out_d[:cnt], out_l[:cnt]
 
     def search_batch(
-        self, qs: np.ndarray, k: int, ef: int
+        self,
+        qs: np.ndarray,
+        k: int,
+        ef: int,
+        eligible: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         q = np.ascontiguousarray(qs, dtype=np.float32).reshape(-1, self.dim)
         nq = q.shape[0]
         out_l = np.full((nq, k), -1, dtype=np.int64)
         out_d = np.full((nq, k), np.inf, dtype=np.float32)
         out_c = np.zeros(nq, dtype=np.int32)
-        self.lib.hnsw_search_batch(
-            self._h, _ptr(q, _F32P), nq, k, ef,
-            _ptr(out_l, _I64P), _ptr(out_d, _F32P), _ptr(out_c, _I32P),
-        )
+        if eligible is None:
+            self.lib.hnsw_search_batch(
+                self._h, _ptr(q, _F32P), nq, k, ef,
+                _ptr(out_l, _I64P), _ptr(out_d, _F32P), _ptr(out_c, _I32P),
+            )
+        else:
+            el = np.ascontiguousarray(eligible, dtype=np.uint8).reshape(-1)
+            assert len(el) == self.size
+            self.lib.hnsw_search_batch_filtered(
+                self._h, _ptr(q, _F32P), nq, k, ef, _ptr(el, _U8P),
+                _ptr(out_l, _I64P), _ptr(out_d, _F32P), _ptr(out_c, _I32P),
+            )
         return out_d, out_l, out_c

@@ -24,6 +24,19 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def _normalize_tb(tb: int, b: int) -> int:
+    """Clamp a user-supplied hop-kernel query tile to a power of two that
+    divides the batch (batches are padded to multiples of 16 upstream — a
+    non-power-of-two tb like 12 would halve to 6 and fail the >=8 floor)."""
+    tb = min(tb, b)
+    if tb & (tb - 1):
+        tb = 1 << (tb.bit_length() - 1)
+    while b % tb != 0 and tb > 8:
+        tb //= 2
+    assert tb >= 8 and b % tb == 0, f"batch {b} must be a multiple of tb>=8"
+    return tb
+
+
 def _gather_dist_kernel(ids_ref, q_ref, table_ref, out_ref, rows, sems, *, tb, k, ip):
     base = pl.program_id(0) * tb
     # Issue one DMA per (query, neighbor) row — all concurrent — then wait.
@@ -145,10 +158,7 @@ def hop_dist_inline(
     if d_pad != d:
         q = jnp.pad(q, ((0, 0), (0, d_pad - d)))
         d = d_pad
-    tb = min(tb, b)
-    while b % tb != 0 and tb > 8:
-        tb //= 2
-    assert tb >= 8 and b % tb == 0, f"batch {b} must be a multiple of tb>=8"
+    tb = _normalize_tb(tb, b)
     grid = (b // tb,)
     # Lane-pack the ids: a [B, E] scalar-prefetch operand is padded to 128
     # lanes per row in SMEM (1 MB at B=2048) and overflows; [P, 128] wastes
@@ -563,10 +573,7 @@ def hop_dist_unified(
     )
     if d_pad != d:
         q = jnp.pad(q, ((0, 0), (0, d_pad - d)))
-    tb = min(tb, b)
-    while b % tb != 0 and tb > 8:
-        tb //= 2
-    assert tb >= 8 and b % tb == 0, f"batch {b} must be a multiple of tb>=8"
+    tb = _normalize_tb(tb, b)
     grid = (b // tb,)
     flat = chosen.reshape(-1)
     p = -(-flat.shape[0] // 128)
@@ -637,10 +644,18 @@ def build_inline_tables(x, dg, dim, unified_max_bytes, split_max_bytes):
     if m0_pad <= 128 and n_pad * s_row * 512 <= unified_max_bytes:
         return ("unified", make_unified_table_chunked(x, dg.level0),
                 upper_tabs())
+    # int8-tier footprint counts the packed table PLUS the codes/scales side
+    # tables make_unified8_table_chunked keeps live for delta refresh
+    # (~260MB extra at N=2M/d=128 — right at the tier boundary)
+    u8_bytes = (
+        n_pad * (m0_pad * d_pad // 512 + 1) * 512 + n_pad * d_pad + 4 * n_pad
+        if m0_pad * d_pad % 512 == 0
+        else 0
+    )
     if (
         2 * m0_pad <= 128
         and m0_pad * d_pad % 512 == 0
-        and n_pad * (m0_pad * d_pad // 512 + 1) * 512 <= unified_max_bytes
+        and u8_bytes <= unified_max_bytes
     ):
         table, codes, scales = make_unified8_table_chunked(x, dg.level0)
         # the quantized side tables stay live for row-delta refresh

@@ -66,16 +66,19 @@ def test_mark_deleted_skips_graph_rebuild():
     assert 7 not in set(l.ravel().tolist())
 
 
-def test_update_forces_full_resync():
+def test_update_syncs_as_delta():
     x = _data(800)
     idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=80)
     idx.add_items(x)
     idx.search(x[:16], k=3, ef=40)
-    # same label, new vector -> in-place update -> stale inline rows are
-    # non-local, must full-resync
-    idx.add_point(_data(1, seed=9)[0], 5)
-    idx.search(x[:16], k=3, ef=40)
-    assert idx._last_sync_mode == "full"
+    # same label, new vector -> in-place update -> row delta (the updated
+    # vector row + its level-0 in-neighbors' inline rows), NOT a full resync
+    # (r2 behavior; VERDICT r2 item 4)
+    v = _data(1, seed=9)[0]
+    idx.add_point(v, 5)
+    d, l = idx.search(v[None, :], k=1, ef=40)
+    assert idx._last_sync_mode == "delta"
+    assert l[0, 0] == 5 and d[0, 0] < 1e-3
 
 
 def test_growth_past_headroom_full_resyncs():
@@ -167,3 +170,72 @@ def test_incremental_sync_inline_tables(rng, kind_budget):
 
     assert set(inline_search_kwargs(nbr_vec))  # must not raise
     assert np.mean(l[:, 0] == np.arange(16)) >= 0.9
+
+
+def test_update_applies_as_row_delta():
+    """In-place vector updates must sync as row deltas, not a full table
+    rebuild (VERDICT r2 item 4; reference local repair: updatePoint /
+    repairConnectionsForUpdate, hnswalg.h:995-1150). The delta state must be
+    bit-identical to a from-scratch rebuild of the same builder."""
+    x = _data(3000)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=80)
+    idx.add_items(x)
+    q = _data(32, seed=2)
+    idx.search(q, k=5, ef=60)
+    assert idx._last_sync_mode == "full"
+
+    # update 100 existing labels with new vectors
+    upd_labels = np.arange(0, 1000, 25)
+    upd_vecs = _data(40, seed=7)
+    idx.add_items(upd_vecs, upd_labels)
+    d1, l1 = idx.search(q, k=5, ef=60)
+    assert idx._last_sync_mode == "delta", "update should sync incrementally"
+
+    from hnsw_tpu.core.graph import check_integrity
+
+    # require_inbound=False: a re-prune during repair can orphan a node's
+    # last inbound edge — true of hnswlib's updatePoint repair as well
+    # (hnswalg.h:1074-1150); all other invariants must hold
+    check_integrity(idx.graph, require_inbound=False)
+
+    # delta device state must equal a from-scratch rebuild
+    n = idx.num_elements
+    x_delta = np.asarray(idx._device[1])[:n]
+    lvl_delta = np.asarray(idx._device[0].level0)[:n]
+    lvl_delta = np.where(lvl_delta >= n, -1, lvl_delta)
+    idx._device = None
+    idx._dirty = True
+    d2, l2 = idx.search(q, k=5, ef=60)
+    assert idx._last_sync_mode == "full"
+    np.testing.assert_allclose(
+        x_delta, np.asarray(idx._device[1])[:n], rtol=0
+    )
+    lvl_full = np.asarray(idx._device[0].level0)[:n]
+    lvl_full = np.where(lvl_full >= n, -1, lvl_full)
+    np.testing.assert_array_equal(lvl_delta, lvl_full)
+    # delta-path sq-norms round differently than the full rebuild's (same
+    # f32 math, different reduction grouping) — distances agree to fp noise
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
+    np.testing.assert_array_equal(l1, l2)
+
+    # recall unaffected: updated vectors are found at their new positions
+    du, lu = idx.search(upd_vecs[:16], k=1, ef=80)
+    assert (lu[:, 0] == upd_labels[:16]).mean() >= 0.9
+
+
+def test_replace_deleted_label_swap_syncs_as_delta():
+    """insert_replace reuses a deleted slot and swaps its label — the delta
+    path must propagate the new label to the device label table."""
+    x = _data(1200)
+    idx = HNSWIndex(
+        "l2", dim=DIM, m=8, ef_construction=80, allow_replace_deleted=True
+    )
+    idx.add_items(x)
+    idx.search(x[:8], k=1, ef=40)
+    idx.mark_deleted(17)
+    v_new = _data(1, seed=9)
+    idx.add_point(v_new[0], 5000, replace_deleted=True)
+    d, l = idx.search(v_new, k=1, ef=80)
+    assert idx._last_sync_mode == "delta"
+    assert l[0, 0] == 5000
+    assert d[0, 0] < 1e-3
