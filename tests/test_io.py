@@ -128,3 +128,24 @@ def test_load_restores_every_init_attribute(tmp_path, rng):
     for attr, v in idx.__dict__.items():
         if isinstance(v, (int, float, bool, str)) and not attr.startswith("_"):
             assert getattr(idx2, attr) == v, (attr, v, getattr(idx2, attr))
+
+
+def test_native_adj_export_matches_numpy_writer(tmp_path):
+    """The native streaming writer and the vectorized numpy writer must
+    produce byte-identical files (reference format,
+    index_builder/build.cpp:14-21)."""
+    import numpy as np
+
+    from hnsw_tpu.io.adj import write_adj
+    from hnsw_tpu.models.hnsw import HNSWIndex
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(1500, 16)).astype(np.float32)
+    idx = HNSWIndex("l2", dim=16, m=6, ef_construction=60)
+    idx.add_items(x)
+    p_native = str(tmp_path / "native.adj")
+    p_numpy = str(tmp_path / "numpy.adj")
+    idx.export_adj(p_native)
+    write_adj(idx.graph, p_numpy)
+    with open(p_native, "rb") as a, open(p_numpy, "rb") as b:
+        assert a.read() == b.read()
