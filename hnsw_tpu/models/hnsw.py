@@ -172,6 +172,19 @@ class SearchParams:
     expand: int = 1  # beam entries expanded per traversal step
     max_iters: int = 0  # 0 => 2*ef + 16
     collect_metrics: bool = False
+    # Adaptive-termination speed mode: stop a query once its top-k has not
+    # improved for this many iterations (0 = off; the loop then runs to beam
+    # exhaustion, the searchBaseLayerST analog). The hop kernel is
+    # descriptor-issue bound, so fewer expansions is the remaining qps lever.
+    stop_patience: int = 0
+    # >0: stop a query once its best unexpanded beam entry is farther than
+    # this multiple of its k-th best distance (the reference's
+    # lower_bound-vs-candidate cut, hnswalg.h:342-436, relaxed by a factor).
+    stop_frontier: float = 0.0
+    # Custom pluggable stop condition (BaseSearchStopCondition analog,
+    # hnswlib/hnswlib.h:134-150): StopView -> [B] bool, OR-ed with the
+    # patience rule. Must be a hashable (module-level) callable.
+    stop_fn: object = None
 
 
 class HNSWIndex:
@@ -575,6 +588,9 @@ class HNSWIndex:
             collect_metrics=params.collect_metrics,
             has_mask=eligible is not None,
             interpret=jax.default_backend() != "tpu",
+            stop_patience=params.stop_patience,
+            stop_frontier=params.stop_frontier,
+            stop_fn=params.stop_fn,
         )
         dists = np.asarray(res.dists)[:b0]
         ids = np.asarray(res.ids)[:b0]

@@ -196,6 +196,23 @@ class _BeamState(NamedTuple):
     hops: Array  # [B]
     dist_comps: Array  # [B]
     it: Array  # []
+    kd_prev: Array  # [B] k-th best distance last iteration (adaptive stop)
+    stall: Array  # [B] iterations without top-k improvement
+    done: Array  # [B] per-query early-stop flag
+
+
+class StopView(NamedTuple):
+    """Read-only view of the per-query beam state handed to a custom stop
+    condition — the device analog of hnswlib's BaseSearchStopCondition
+    (hnswlib/hnswlib.h:134-150): where the reference's interface inspects
+    each candidate on a serial heap, a batched traversal evaluates one
+    vectorized predicate over the whole beam per iteration."""
+
+    beam_d: Array  # [B, ef] current beam distances, ascending
+    beam_ids: Array  # [B, ef] current beam ids
+    res_d: Array  # [B, ef] filtered result distances (== beam when no mask)
+    it: Array  # [] iteration counter
+    hops: Array  # [B] per-query hop count (when collect_metrics)
 
 
 @functools.partial(
@@ -213,6 +230,9 @@ class _BeamState(NamedTuple):
         "tb",
         "nbuf",
         "unified_int8",
+        "stop_patience",
+        "stop_frontier",
+        "stop_fn",
     ),
 )
 def search_batch(
@@ -239,12 +259,29 @@ def search_batch(
     tb: int = 16,  # hop-kernel query tile (queries per grid step)
     nbuf: int = 2,  # hop-kernel DMA pipeline depth (buffers in flight)
     unified_int8: bool = False,  # unified_table rows are int8-quantized
+    stop_patience: int = 0,  # >0: stop a query after this many iterations
+    #   without top-k improvement (adaptive-termination speed mode)
+    stop_frontier: float = 0.0,  # >0: stop a query once its best UNexpanded
+    #   beam entry is farther than stop_frontier * its k-th best distance —
+    #   the reference's lower_bound-vs-candidate cut (hnswalg.h:342-436)
+    #   relaxed by a multiplier (1.0 = classic greedy cut; ~2-4 = mild)
+    stop_fn=None,  # optional StopView -> [B] bool custom stop condition
+    #   (BaseSearchStopCondition analog, hnswlib/hnswlib.h:134-150)
 ) -> SearchResults:
     """Batched HNSW search over a device-resident padded-CSR graph.
 
     Functional equivalent of HierarchicalNSW::searchKnn
     (hnswlib/hnswalg.h:1271-1324) for a batch of queries: greedy upper-layer
     descent then fixed-ef beam search at level 0. `ef >= k` required.
+
+    Early termination: the fixed-ef loop normally runs until every beam
+    entry is expanded (the batch analog of exhausting hnswlib's candidate
+    heap, hnswalg.h:342-436). `stop_patience` ends a query once its k-th
+    best distance hasn't improved for that many iterations — the only
+    remaining qps lever on this hardware, since the hop kernel is
+    descriptor-issue bound and the merge near-roofline (fewer expansions,
+    not cheaper ones). `stop_fn` generalizes this to arbitrary pluggable
+    conditions over the beam state.
     """
     assert ef >= k, "ef must be >= k"
     if max_iters <= 0:
@@ -327,16 +364,23 @@ def search_batch(
 
     iota_ef = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
 
+    use_stop = stop_patience > 0 or stop_frontier > 0 or stop_fn is not None
+
     def cond(st: _BeamState):
         unexp = (st.beam_key & 1) == 0
         live = unexp & (st.beam_d < _INF)
-        return jnp.logical_and(st.it < max_iters, jnp.any(live))
+        alive = jnp.any(live, axis=-1)
+        if use_stop:
+            alive = alive & ~st.done
+        return jnp.logical_and(st.it < max_iters, jnp.any(alive))
 
     def body(st: _BeamState):
         beam_id = st.beam_key >> 1
         beam_exp = (st.beam_key & 1) == 1
         unexp = (~beam_exp) & (st.beam_d < _INF)
         active = jnp.any(unexp, axis=-1)  # [B]
+        if use_stop:
+            active = active & ~st.done
 
         # Select the `expand` best unexpanded entries (beam is sorted).
         key = jnp.where(unexp, st.beam_d, _INF)
@@ -421,8 +465,34 @@ def search_batch(
         else:
             hops, dist_comps = st.hops, st.dist_comps
 
+        kd_prev, stall, done = st.kd_prev, st.stall, st.done
+        if use_stop:
+            kd = (res_d2 if use_mask else beam_d2)[:, k - 1]
+            if stop_patience > 0:
+                # top-k improvement <=> the k-th best distance decreased
+                # (sorted beam: any entrant into the top k lowers it)
+                improved = kd < kd_prev
+                stall = jnp.where(improved & active, 0, stall + 1)
+                done = done | (stall >= stop_patience)
+                kd_prev = kd
+            if stop_frontier > 0:
+                unexp2 = ((beam_key3 & 1) == 0) & (beam_d2 < _INF)
+                best_unexp = jnp.min(
+                    jnp.where(unexp2, beam_d2, _INF), axis=-1
+                )
+                done = done | (
+                    (best_unexp > stop_frontier * kd) & (kd < _INF)
+                )
+            if stop_fn is not None:
+                view = StopView(
+                    beam_d2, beam_key3 >> 1,
+                    res_d2 if use_mask else beam_d2, st.it, hops,
+                )
+                done = done | (stop_fn(view) & active)
+
         return _BeamState(
-            beam_d2, beam_key3, hist2, res_d2, res_id2, hops, dist_comps, st.it + 1
+            beam_d2, beam_key3, hist2, res_d2, res_id2, hops, dist_comps,
+            st.it + 1, kd_prev, stall, done,
         )
 
     init = _BeamState(
@@ -434,6 +504,9 @@ def search_batch(
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), jnp.int32),
         jnp.asarray(0, jnp.int32),
+        jnp.full((b,), _INF),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), bool),
     )
     final = jax.lax.while_loop(cond, body, init)
 

@@ -1,0 +1,103 @@
+"""Adaptive termination + pluggable stop conditions (VERDICT r2 item 2 and
+the BaseSearchStopCondition interface, hnswlib/hnswlib.h:134-150)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hnsw_tpu.core.spaces import L2Space
+from hnsw_tpu.models.bruteforce import BruteforceIndex
+from hnsw_tpu.models.hnsw import HNSWIndex, SearchParams
+
+DIM = 24
+N = 4000
+
+
+def _setup(_unused=None):
+    rng = np.random.default_rng(77)
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=100)
+    idx.add_items(x)
+    bf = BruteforceIndex(L2Space(DIM))
+    bf.add_items(x, np.arange(N))
+    q = rng.normal(size=(64, DIM)).astype(np.float32)
+    _, gt = bf.search_knn(q, 10)
+    return idx, q, gt
+
+
+def _recall(l, gt):
+    return np.mean([len(set(a) & set(b)) / 10 for a, b in zip(l, gt)])
+
+
+def test_adaptive_stop_cuts_hops_at_tiny_recall_cost(rng):
+    idx, q, gt = _setup(rng)
+    p_full = SearchParams(k=10, ef=200, collect_metrics=True)
+    d0, l0 = idx.search(q, params=p_full)
+    hops_full = int(np.sum(idx.last_metrics.hops))
+    r_full = _recall(l0, gt)
+
+    p_fast = SearchParams(k=10, ef=200, collect_metrics=True, stop_patience=32)
+    d1, l1 = idx.search(q, params=p_fast)
+    hops_fast = int(np.sum(idx.last_metrics.hops))
+    r_fast = _recall(l1, gt)
+
+    # mechanics on this deliberately hard (unclustered, tiny-N) set: far
+    # fewer expansions at a bounded recall cost. The production-quality
+    # operating point is swept at N=1M on TPU (res/sweep_stop_1m.json).
+    assert hops_fast < 0.6 * hops_full, (hops_fast, hops_full)
+    assert r_fast >= r_full - 0.06, (r_fast, r_full)
+
+
+def test_frontier_stop_cuts_tail_iterations(rng):
+    idx, q, gt = _setup(rng)
+    p_full = SearchParams(k=10, ef=200, collect_metrics=True)
+    d0, l0 = idx.search(q, params=p_full)
+    max_full = int(np.max(idx.last_metrics.hops))
+    r_full = _recall(l0, gt)
+
+    p_fast = SearchParams(
+        k=10, ef=200, collect_metrics=True, stop_frontier=1.3
+    )
+    d1, l1 = idx.search(q, params=p_fast)
+    max_fast = int(np.max(idx.last_metrics.hops))
+    r_fast = _recall(l1, gt)
+    # the frontier cut must shorten the slowest query (the wall-clock
+    # driver for a batched while_loop), not just the mean
+    assert max_fast < 0.8 * max_full, (max_fast, max_full)
+    assert r_fast >= r_full - 0.05, (r_fast, r_full)
+
+
+def test_tiny_patience_is_aggressive_but_sane(rng):
+    idx, q, gt = _setup(rng)
+    d, l = idx.search(
+        q, params=SearchParams(k=10, ef=200, stop_patience=8)
+    )
+    assert _recall(l, gt) >= 0.6  # degraded but functional
+
+
+def _stop_after_5(view):
+    return jnp.broadcast_to(view.it >= 5, view.beam_d.shape[:1])
+
+
+def test_custom_stop_fn_caps_iterations(rng):
+    idx, q, gt = _setup(rng)
+    p = SearchParams(k=10, ef=200, collect_metrics=True, stop_fn=_stop_after_5)
+    d, l = idx.search(q, params=p)
+    # stop fires after the 6th iteration completes (evaluated post-hop),
+    # expand=1 -> at most ~7 hops counted
+    assert int(np.max(idx.last_metrics.hops)) <= 7
+    # results are still valid prefixes of a beam search
+    assert np.isfinite(np.asarray(d)).all()
+
+
+def test_epsilon_style_stop_fn(rng):
+    """A radius cut expressed as a pluggable condition: stop once the whole
+    top-k lies within eps (EpsilonSearchStopCondition analog,
+    hnswlib/stop_condition.h:218-275)."""
+    idx, q, gt = _setup(rng)
+
+    def stop_eps(view):
+        return view.beam_d[:, 9] <= 30.0
+
+    p = SearchParams(k=10, ef=200, stop_fn=stop_eps, collect_metrics=True)
+    d, l = idx.search(q, params=p)
+    assert np.isfinite(np.asarray(d)).all()
