@@ -194,11 +194,12 @@ def run_experiment(sizes, dim, optimized, do_recall, do_mem, m, ef_c, n_search,
             sp.terminate()
             sp.wait(timeout=30)
 
-    out = os.path.join(RES_DIR, f"results_{mode}.json")
+    tag = "_native" if native else ""
+    out = os.path.join(RES_DIR, f"results_{mode}{tag}.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}", flush=True)
-    _plot(results, mode)
+    _plot(results, mode + tag)
     return results
 
 
@@ -227,11 +228,16 @@ def _plot(results, mode):
         plt.close()
 
 
-def calculate_memory_reduction():
+def calculate_memory_reduction(native=False):
     """Baseline-vs-optimized comparison (reference: experiment.py:353-464)."""
+    tag = "_native" if native else ""
     try:
-        base = json.load(open(os.path.join(RES_DIR, "results_baseline.json")))
-        opt = json.load(open(os.path.join(RES_DIR, "results_optimized.json")))
+        base = json.load(
+            open(os.path.join(RES_DIR, f"results_baseline{tag}.json"))
+        )
+        opt = json.load(
+            open(os.path.join(RES_DIR, f"results_optimized{tag}.json"))
+        )
     except FileNotFoundError:
         print("need both baseline and optimized results for comparison")
         return None
@@ -244,7 +250,9 @@ def calculate_memory_reduction():
     for n in base.get("recall", {}):
         if n in opt.get("recall", {}):
             comparison["recall_delta"][n] = opt["recall"][n] - base["recall"][n]
-    out = os.path.join(RES_DIR, "comparison_results.json")
+    out = os.path.join(
+        RES_DIR, "comparison_native.json" if native else "comparison_results.json"
+    )
     with open(out, "w") as f:
         json.dump(comparison, f, indent=2)
     print(f"wrote {out}: {comparison}")
@@ -277,7 +285,7 @@ def main():
             args.sizes, args.dim, True, args.recall, not args.no_mem,
             args.M, args.ef_construction, args.n_search, native=args.native,
         )
-        calculate_memory_reduction()
+        calculate_memory_reduction(native=args.native)
 
 
 if __name__ == "__main__":

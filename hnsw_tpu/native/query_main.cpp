@@ -29,7 +29,9 @@
 
 #include "httpkit.h"
 
+#include <fcntl.h>
 #include <sys/resource.h>
+#include <unistd.h>
 
 #include <algorithm>
 #include <cmath>
@@ -44,20 +46,64 @@
 
 namespace {
 
+// Adjacency storage, two footprints (the research core of the reference —
+// hnsw_service/hnsw_graph.cpp:98-130):
+//  - normal:    level-0 lists in RAM as one flat CSR (offsets + pool), no
+//               per-list heap objects (a nested vector<vector<...>> costs
+//               ~48B of header+slack per node and fragments the heap).
+//  - optimized: level-0 lists NOT in RAM at all — only a u64 file offset +
+//               degree per node; neighbor lists are pread() from the .adj
+//               per visit (reference behavior: record offsets at load,
+//               re-read from disk during search, hnsw_graph.cpp:113-130,
+//               233-282). Upper levels are tiny (~N/M nodes) and stay in a
+//               RAM CSR in both modes.
 struct AdjGraph {
   uint32_t entry = 0;
   uint32_t max_level = 0;
   uint32_t n = 0;
   std::vector<int64_t> labels;
   std::vector<uint32_t> node_level;
-  // per node, per level: neighbor list (flattened with offsets)
-  std::vector<std::vector<std::vector<uint32_t>>> adj;  // [node][level][i]
+  // level 0 (normal mode): CSR
+  std::vector<uint64_t> l0_off;  // [n+1] into l0_flat
+  std::vector<uint32_t> l0_flat;
+  // level 0 (optimized mode): lazy file offsets
+  std::vector<uint64_t> l0_file_off;  // [n] byte offset of the id list
+  std::vector<uint32_t> l0_deg;       // [n]
+  int fd = -1;                        // persistent .adj fd (optimized)
+  // upper levels (both modes): per-node segment table. up_base[i] indexes
+  // up_seg; node i's level-l list (l>=1) is
+  // up_flat[up_seg[up_base[i]+l-1] .. up_seg[up_base[i]+l]).
+  std::vector<uint64_t> up_base;  // [n+1]
+  std::vector<uint64_t> up_seg;   // [sum(node_level)+n] segment starts
+  std::vector<uint32_t> up_flat;
+
+  const uint32_t* upper(uint32_t node, uint32_t level, uint32_t* deg) const {
+    if (level > node_level[node]) {
+      *deg = 0;
+      return nullptr;
+    }
+    uint64_t s = up_seg[up_base[node] + level - 1];
+    uint64_t e = up_seg[up_base[node] + level];
+    *deg = uint32_t(e - s);
+    return up_flat.data() + s;
+  }
+  const uint32_t* level0(uint32_t node, uint32_t* deg) const {
+    *deg = uint32_t(l0_off[node + 1] - l0_off[node]);
+    return l0_flat.data() + l0_off[node];
+  }
+  // optimized mode: fetch node's level-0 ids from disk into `buf`
+  bool level0_lazy(uint32_t node, std::vector<uint32_t>* buf) const {
+    buf->resize(l0_deg[node]);
+    if (!l0_deg[node]) return true;
+    ssize_t want = ssize_t(l0_deg[node]) * 4;
+    return pread(fd, buf->data(), size_t(want),
+                 off_t(l0_file_off[node])) == want;
+  }
 };
 
-bool load_adj(const char* path, AdjGraph* g) {
+bool load_adj(const char* path, AdjGraph* g, bool lazy_level0) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
-  auto rd = [&](uint32_t* v) { return fread(v, 4, 1, f) == 1; };
   uint32_t hdr[3];
   if (fread(hdr, 4, 3, f) != 3) return fclose(f), false;
   g->entry = hdr[0];
@@ -65,22 +111,54 @@ bool load_adj(const char* path, AdjGraph* g) {
   g->n = hdr[2];
   g->labels.resize(g->n);
   g->node_level.resize(g->n);
-  g->adj.resize(g->n);
+  g->up_base.resize(g->n + 1, 0);
+  if (lazy_level0) {
+    g->l0_file_off.resize(g->n);
+    g->l0_deg.resize(g->n);
+  } else {
+    g->l0_off.resize(g->n + 1, 0);
+  }
+  std::vector<uint32_t> tmp;
   for (uint32_t i = 0; i < g->n; ++i) {
-    uint32_t label, levels;
-    if (!rd(&label) || !rd(&levels)) return fclose(f), false;
-    g->labels[i] = int64_t(label);
+    uint32_t head[2];
+    if (fread(head, 4, 2, f) != 2) return fclose(f), false;
+    g->labels[i] = int64_t(head[0]);
+    uint32_t levels = head[1];
     g->node_level[i] = levels - 1;
-    g->adj[i].resize(levels);
+    g->up_base[i + 1] = g->up_base[i] + levels;  // node_level + 1 boundaries
+    g->up_seg.push_back(uint64_t(g->up_flat.size()));  // boundary l=1 start
     for (uint32_t l = 0; l < levels; ++l) {
       uint32_t deg;
-      if (!rd(&deg)) return fclose(f), false;
-      g->adj[i][l].resize(deg);
-      if (deg && fread(g->adj[i][l].data(), 4, deg, f) != deg)
-        return fclose(f), false;
+      if (fread(&deg, 4, 1, f) != 1) return fclose(f), false;
+      if (l == 0) {
+        if (lazy_level0) {
+          g->l0_file_off[i] = uint64_t(ftello(f));
+          g->l0_deg[i] = deg;
+          if (fseeko(f, off_t(deg) * 4, SEEK_CUR) != 0)
+            return fclose(f), false;
+        } else {
+          tmp.resize(deg);
+          if (deg && fread(tmp.data(), 4, deg, f) != deg)
+            return fclose(f), false;
+          g->l0_off[i + 1] = g->l0_off[i] + deg;
+          g->l0_flat.insert(g->l0_flat.end(), tmp.begin(), tmp.end());
+        }
+        continue;
+      }
+      tmp.resize(deg);
+      if (deg && fread(tmp.data(), 4, deg, f) != deg) return fclose(f), false;
+      g->up_flat.insert(g->up_flat.end(), tmp.begin(), tmp.end());
+      g->up_seg.push_back(uint64_t(g->up_flat.size()));  // boundary after l
     }
   }
   fclose(f);
+  g->up_flat.shrink_to_fit();
+  g->l0_flat.shrink_to_fit();
+  g->up_seg.shrink_to_fit();
+  if (lazy_level0) {
+    g->fd = open(path, O_RDONLY);
+    if (g->fd < 0) return false;
+  }
   return true;
 }
 
@@ -210,15 +288,19 @@ struct Engine {
     if (!epv) return {};
     float ep_d = l2_sq(q, epv, vs.dim);
 
-    // greedy upper descent
+    // greedy upper descent (upper lists are in the RAM CSR in both modes)
+    std::vector<uint32_t> nb_vec;
     for (uint32_t l = g.max_level; l >= 1; --l) {
       bool changed = true;
       while (changed) {
         changed = false;
         if (g.node_level[ep] < l) break;
-        const auto& nb = g.adj[ep][l];
-        if (optimized) vs.prefetch(nb);
-        for (uint32_t cand : nb) {
+        uint32_t deg = 0;
+        const uint32_t* nb = g.upper(ep, l, &deg);
+        if (optimized && deg)
+          vs.prefetch(std::vector<uint32_t>(nb, nb + deg));
+        for (uint32_t j = 0; j < deg; ++j) {
+          uint32_t cand = nb[j];
           const float* cv = vs.get(cand);
           if (!cv) continue;  // skip-on-error (hnsw_graph.cpp:329-331)
           float d = l2_sq(q, cv, vs.dim);
@@ -231,7 +313,10 @@ struct Engine {
       }
     }
 
-    // level-0 beam
+    // level-0 beam. Optimized mode re-reads each visited node's neighbor
+    // list from the .adj file (pread at its recorded offset) — level-0
+    // adjacency costs 12B/node of RAM, not the full list pool
+    // (hnsw_graph.cpp:233-282 lazy design).
     std::priority_queue<Cand, std::vector<Cand>, Closer> candidates;
     std::priority_queue<Cand, std::vector<Cand>, Farther> results;
     std::vector<uint8_t> visited(g.n, 0);
@@ -245,10 +330,18 @@ struct Engine {
       Cand c = candidates.top();
       if (c.dist > lower && results.size() >= ef_s) break;
       candidates.pop();
-      const auto& nb = g.adj[c.id][0];
+      const uint32_t* nb;
+      uint32_t deg = 0;
+      if (optimized) {
+        if (!g.level0_lazy(c.id, &nb_vec)) continue;  // skip-on-error
+        nb = nb_vec.data();
+        deg = uint32_t(nb_vec.size());
+      } else {
+        nb = g.level0(c.id, &deg);
+      }
       fresh.clear();
-      for (uint32_t cand : nb)
-        if (!visited[cand]) fresh.push_back(cand);
+      for (uint32_t j = 0; j < deg; ++j)
+        if (!visited[nb[j]]) fresh.push_back(nb[j]);
       if (optimized && !fresh.empty()) vs.prefetch(fresh);
       for (uint32_t cand : fresh) {
         visited[cand] = 1;
@@ -318,7 +411,7 @@ int main(int argc, char** argv) {
   eng->default_ef = ef;
   eng->optimized = optimized;
   eng->vs.dim = dim;
-  if (!load_adj(graph.c_str(), &eng->g)) {
+  if (!load_adj(graph.c_str(), &eng->g, /*lazy_level0=*/optimized)) {
     fprintf(stderr, "cannot load graph %s\n", graph.c_str());
     return 1;
   }

@@ -1,0 +1,96 @@
+// ThreadSanitizer stress target for the concurrent insert path.
+//
+// The reference's lock inventory (hnswalg.h:43,255,529-555: per-node link
+// locks, entry lock, striped label locks) is mirrored here by
+// HnswBuilder's striped link_locks + entry_lock + big_lock; this binary
+// exercises them under TSan, which detects lock-discipline violations via
+// happens-before analysis even on a single-core host where real
+// interleaving never manifests (the round-2 gap: tests/test_parallel_build
+// is functionally green but race-blind).
+//
+// Build & run (bin/tsan_check.py):
+//   g++ -fsanitize=thread -O1 -g -std=c++20 -pthread tsan_stress.cpp
+//   TSAN_OPTIONS=halt_on_error=0 ./a.out
+// Exit 0 + empty TSan report = clean.
+
+#include "builder.cpp"
+
+#include <cstdio>
+#include <random>
+#include <thread>
+#include <vector>
+
+int main() {
+  const int dim = 32, M = 8, efc = 60;
+  const size_t n_total = 8000, per_batch = 2000;
+  std::mt19937_64 rng(7);
+  std::normal_distribution<float> g;
+
+  std::vector<float> data(n_total * dim);
+  for (auto& v : data) v = g(rng);
+  std::vector<int64_t> labels(n_total);
+  for (size_t i = 0; i < n_total; ++i) labels[i] = int64_t(i);
+
+  HnswBuilder* b = hnsw_create(dim, 0, M, efc, 42);
+
+  // Concurrent inserts: 4 batches linked by 4 threads each (insert_batch
+  // phase 2 runs its own thread pool with striped per-node locks), PLUS a
+  // reader thread issuing searches against the live graph mid-build — the
+  // reference's concurrent query-during-insert usage (hnswalg.h:955-961).
+  std::atomic<bool> stop{false};
+  std::thread reader([&] {
+    std::vector<int64_t> out_l(10);
+    std::vector<float> out_d(10);
+    std::mt19937_64 r2(9);
+    std::normal_distribution<float> g2;
+    std::vector<float> q(dim);
+    while (!stop.load()) {
+      for (auto& v : q) v = g2(r2);
+      hnsw_search(b, q.data(), 10, 40, out_l.data(), out_d.data());
+    }
+  });
+
+  for (size_t s = 0; s < n_total; s += per_batch) {
+    hnsw_add_batch(b, data.data() + s * dim, labels.data() + s,
+                   int64_t(per_batch), 4);
+  }
+  stop = true;
+  reader.join();
+
+  // invariants (checkIntegrity semantics, hnswalg.h:1381-1410)
+  size_t n = size_t(hnsw_size(b));
+  if (n != n_total) {
+    fprintf(stderr, "FAIL: size %zu != %zu\n", n, n_total);
+    return 1;
+  }
+  int bad = 0;
+  for (size_t i = 0; i < n; ++i) {
+    int cnt;
+    const int32_t* nb = b->neighbors(uint32_t(i), 0, &cnt);
+    for (int j = 0; j < cnt; ++j) {
+      if (nb[j] < 0 || size_t(nb[j]) >= n || nb[j] == int32_t(i)) ++bad;
+      for (int l = 0; l < j; ++l)
+        if (nb[l] == nb[j]) ++bad;
+    }
+  }
+  if (bad) {
+    fprintf(stderr, "FAIL: %d bad level-0 links\n", bad);
+    return 1;
+  }
+  // search sanity: self-queries find themselves
+  int hit = 0;
+  std::vector<int64_t> out_l(1);
+  std::vector<float> out_d(1);
+  for (size_t i = 0; i < 200; ++i) {
+    hnsw_search(b, data.data() + i * dim, 1, 60, out_l.data(), out_d.data());
+    hit += out_l[0] == int64_t(i);
+  }
+  printf("tsan_stress: n=%zu links-ok self-hit=%d/200\n", n, hit);
+  if (hit < 190) {
+    fprintf(stderr, "FAIL: self-hit %d\n", hit);
+    return 1;
+  }
+  hnsw_free(b);
+  printf("tsan_stress: OK\n");
+  return 0;
+}

@@ -41,9 +41,17 @@ from hnsw_tpu.ops.traversal import search_batch
 class ShardedIndexArrays:
     """Stacked per-shard device arrays; leading axis S is sharded.
 
-    `nbr_vectors` is the inline neighbor-vector fast-path table (may be a
-    dummy [S, 1, 1, 1] when disabled — aux fields must stay arrays to remain
-    a jit-able pytree)."""
+    The serving-table tier mirrors the single-chip ladder
+    (ops.pallas_gather.build_inline_tables): `kind` (static pytree
+    metadata) selects which aux tables are real — the others stay dummy
+    arrays so the pytree shape is jit-stable per kind.
+
+      "unified"  — bf16 unified node blocks + per-level upper tables
+      "unified8" — int8 unified node blocks (+ codes/scales side tables
+                   kept live for row-delta refresh)
+      "split"    — inline neighbor vectors + tiled adjacency
+      "off"      — XLA-gather fallback
+    """
 
     vectors: jax.Array  # [S, n_pad, D]
     sq_norms: jax.Array  # [S, n_pad] (zeros for ip space)
@@ -55,6 +63,12 @@ class ShardedIndexArrays:
     num_nodes: jax.Array  # [S] int32
     nbr_vectors: jax.Array  # [S, n_pad, maxM0, D] bf16, or [S,1,1,1] dummy
     level0_tiles: jax.Array  # [S, n_pad/32, 8, 128] int32, or [S,1,1,1] dummy
+    unified_table: jax.Array  # [S, n_pad*s_row, 128] int32, or [S,1,1] dummy
+    codes: jax.Array  # [S, n_pad, d_pad] int8 (unified8), or [S,1,1] dummy
+    scales: jax.Array  # [S, n_pad] f32 (unified8), or [S,1] dummy
+    upper_tabs: tuple  # ((tab [S,U_pad*s,128], slot_ids [S,U_pad]), ...) per
+    #   upper level when kind is unified/unified8, else ()
+    kind: str = dataclasses.field(metadata=dict(static=True), default="off")
 
 
 def _local_graph(a: ShardedIndexArrays) -> DeviceGraph:
@@ -110,31 +124,89 @@ def _make_sharded_inline_chunked(
     return jax.block_until_ready(tab)
 
 
+def _make_sharded_unified_chunked(
+    vecs_dev: jax.Array,  # [S, n_pad, D] sharded on S
+    level0_dev: jax.Array,  # [S, n_pad, m0] sharded on S
+    out_sharding,
+    chunk: int = 1 << 16,
+) -> jax.Array:
+    """Stacked analog of make_unified_table_chunked: per-shard dense 2D
+    unified node-block tables [S, n_pad*s_data, 128], built chunk-wise with
+    a donated accumulator so peak HBM per device stays ~table + one chunk."""
+    from hnsw_tpu.ops.pallas_gather import (
+        pack_unified_rows,
+        unified_row_sublanes,
+    )
+
+    s, n_pad, d = vecs_dev.shape
+    m0 = level0_dev.shape[2]
+    d_pad = round_up(d, 128)
+    _, s_data = unified_row_sublanes(m0, d_pad)
+    sent = n_pad - 1
+
+    @functools.partial(jax.jit, donate_argnums=(0,), out_shardings=out_sharding)
+    def upd(tab, xb, lvl, start):
+        rows = jax.vmap(
+            lambda x1, l1: pack_unified_rows(x1, l1, sent).reshape(-1, 128)
+        )(xb, lvl)  # [S, chunk*s_data, 128]
+        return jax.lax.dynamic_update_slice(tab, rows, (0, start * s_data, 0))
+
+    xb = jax.jit(lambda v: v.astype(jnp.bfloat16))(vecs_dev)
+    tab = jax.jit(
+        lambda: jnp.zeros((s, n_pad * s_data, 128), jnp.int32),
+        out_shardings=out_sharding,
+    )()
+    for st in range(0, n_pad, chunk):
+        e = min(st + chunk, n_pad)
+        tab = upd(tab, xb, level0_dev[:, st:e], jnp.int32(st))
+    return jax.block_until_ready(tab)
+
+
 def build_sharded_arrays(
     shards: list[tuple["HNSWGraph", np.ndarray]],
     space: Space,
     mesh: Mesh,
     shard_axis: str = "shard",
     inline_neighbors: bool | None = None,
+    unified_max_bytes: int | None = None,
+    growth_headroom: float = 1 / 16,
 ) -> ShardedIndexArrays:
     """Stack per-shard (graph, vectors) into uniform [S, ...] arrays and
     place them sharded over `mesh[shard_axis]`. Pads every shard to common
-    n_pad / max_level / upper width so shapes are static."""
+    n_pad / max_level / upper width so shapes are static, with growth
+    headroom so small inserts re-stack as row deltas (the single-chip
+    resizeIndex analog, hnswalg.h:633-683).
+
+    The serving tier per shard follows the single-chip ladder
+    (unified > unified8 > split > gather), budgeted PER DEVICE — each
+    device's HBM holds exactly one shard's tables."""
+    from hnsw_tpu.models.hnsw import SPLIT_MAX_BYTES, UNIFIED_MAX_BYTES
+    from hnsw_tpu.ops.pallas_gather import (
+        make_upper_tables,
+        quantize_int8,
+        unified8_row_sublanes,
+        unified_row_sublanes,
+    )
+
+    if unified_max_bytes is None:
+        unified_max_bytes = UNIFIED_MAX_BYTES
     s = len(shards)
-    n_pad = max(round_up(g.num_nodes + 1, 128) for g, _ in shards)
+    n_max = max(g.num_nodes for g, _ in shards)
+    n_pad = round_up(n_max + 1 + int(n_max * growth_headroom), 128)
     max_l = max(g.max_level for g, _ in shards)
     dim = shards[0][1].shape[1]
     max_m0 = max(g.max_m0 for g, _ in shards)
-    max_m = max((g.max_m for g, _ in shards if g.max_level > 0), default=1)
 
     dgs = []
     for g, _ in shards:
         assert g.max_m0 == max_m0, "shards must share maxM0"
         dgs.append(graph_device_arrays(g, n_pad))
 
+    m0_pad = dgs[0].level0.shape[1]  # link width after 16-alignment
+    max_m = max((dg.upper.shape[2] for dg in dgs if dg.max_level > 0), default=1)
     u_pad = max((dg.upper.shape[1] for dg in dgs if dg.max_level > 0), default=1)
 
-    level0 = np.zeros((s, n_pad, max_m0), dtype=np.int32)
+    level0 = np.full((s, n_pad, m0_pad), n_pad - 1, dtype=np.int32)
     upper = np.full((s, max_l, u_pad, max_m), n_pad - 1, dtype=np.int32)
     upper_slot = np.full((s, max_l, n_pad), u_pad - 1, dtype=np.int32)
     labels = np.full((s, n_pad), -1, dtype=np.int64)
@@ -149,7 +221,12 @@ def build_sharded_arrays(
             u_i = dg.upper.shape[1]
             m_i = dg.upper.shape[2]
             upper[i, :l_i, :u_i, :m_i] = np.asarray(dg.upper)
-            upper_slot[i, :l_i] = np.asarray(dg.upper_slot)
+            # remap the shard's own dummy slot (u_i-1, from its per-shard
+            # padding) to the STACKED dummy u_pad-1: the unified inline
+            # descent detects "absent at this level" by slot == u_pad-1,
+            # and a shard-local dummy below that reads as a real slot
+            us = np.asarray(dg.upper_slot)
+            upper_slot[i, :l_i] = np.where(us == u_i - 1, u_pad - 1, us)
         labels[i] = np.asarray(dg.labels)
         entry[i] = int(dg.entry_point)
         nn[i] = int(dg.num_nodes)
@@ -159,24 +236,93 @@ def build_sharded_arrays(
 
     if inline_neighbors is None:
         inline_neighbors = jax.default_backend() == "tpu"
-    if inline_neighbors and max_m0 > 32:
-        inline_neighbors = False  # tiled layout supports maxM0 <= 32 only
+
+    # -- tier choice (per-device bytes; mirrors build_inline_tables) --------
+    d_pad = round_up(dim, 128)
+    kind = "off"
+    if inline_neighbors:
+        _, s_row = unified_row_sublanes(m0_pad, d_pad)
+        u8_ok = m0_pad * d_pad % 512 == 0 and 2 * m0_pad <= 128
+        u8_bytes = (
+            n_pad * (m0_pad * d_pad // 512 + 1) * 512
+            + n_pad * d_pad
+            + 4 * n_pad
+            if u8_ok
+            else 1 << 62
+        )
+        if m0_pad <= 128 and n_pad * s_row * 512 <= unified_max_bytes:
+            kind = "unified"
+        elif u8_bytes <= unified_max_bytes:
+            kind = "unified8"
+        elif m0_pad <= 32 and n_pad * m0_pad * d_pad * 2 <= SPLIT_MAX_BYTES:
+            kind = "split"
 
     shard_spec = lambda *rest: NamedSharding(mesh, P(shard_axis, *rest))
     put = lambda a, spec: jax.device_put(jnp.asarray(a), spec)
     vecs_dev = put(vecs, shard_spec(None, None))
     level0_dev = put(level0, shard_spec(None, None))
-    if inline_neighbors:
+    upper_dev = put(upper, shard_spec(None, None, None))
+    upper_slot_dev = put(upper_slot, shard_spec(None, None))
+
+    dummy3 = put(np.zeros((s, 1, 1), np.int32), shard_spec(None, None))
+    dummy_codes = put(np.zeros((s, 1, 1), np.int8), shard_spec(None, None))
+    dummy_scales = put(np.zeros((s, 1), np.float32), shard_spec(None))
+    nbr_vec = put(np.zeros((s, 1, 1, 1), np.float16), shard_spec(None, None, None))
+    l0_tiles = put(np.zeros((s, 1, 1, 1), np.int32), shard_spec(None, None, None))
+    uni_tab, codes, scales = dummy3, dummy_codes, dummy_scales
+    upper_tabs = ()
+
+    if kind == "unified":
+        uni_tab = _make_sharded_unified_chunked(
+            vecs_dev, level0_dev, shard_spec(None, None)
+        )
+    elif kind == "unified8":
+        from hnsw_tpu.ops.pallas_gather import pack_unified8_rows
+
+        codes, scales = jax.jit(
+            jax.vmap(quantize_int8),
+            out_shardings=(shard_spec(None, None), shard_spec(None)),
+        )(vecs_dev)
+        if d_pad != dim:
+            codes = jax.jit(
+                lambda c: jnp.pad(c, ((0, 0), (0, 0), (0, d_pad - dim))),
+                out_shardings=shard_spec(None, None),
+            )(codes)
+        _, s8 = unified8_row_sublanes(m0_pad, d_pad)
+        sent = n_pad - 1
+
+        @functools.partial(
+            jax.jit, donate_argnums=(0,), out_shardings=shard_spec(None, None)
+        )
+        def upd8(tab, cds, scl, lvl, start):
+            rows = jax.vmap(
+                lambda c1, s1, l1: pack_unified8_rows(c1, s1, l1, sent).reshape(
+                    -1, 128
+                )
+            )(cds, scl, lvl)
+            return jax.lax.dynamic_update_slice(tab, rows, (0, start * s8, 0))
+
+        uni_tab = jax.jit(
+            lambda: jnp.zeros((s, n_pad * s8, 128), jnp.int32),
+            out_shardings=shard_spec(None, None),
+        )()
+        chunk = 1 << 16
+        for st in range(0, n_pad, chunk):
+            e = min(st + chunk, n_pad)
+            uni_tab = upd8(
+                uni_tab, codes, scales, level0_dev[:, st:e], jnp.int32(st)
+            )
+        uni_tab = jax.block_until_ready(uni_tab)
+    elif kind == "split":
         from hnsw_tpu.ops.pallas_gather import (
             make_inline_neighbors,
             make_level0_tiles,
         )
 
-        per_shard_bytes = n_pad * max_m0 * round_up(dim, 128) * 2
+        per_shard_bytes = n_pad * m0_pad * d_pad * 2
         if per_shard_bytes > 2**31:
             # single-shot gather transiently peaks ~2x per-shard table size
-            # (HBM-edge OOM at Deep10M-scale shards) — build the [S] tables
-            # chunk-wise over the node axis with a donated accumulator
+            # (HBM-edge OOM at Deep10M-class shards) — chunk-wise donated
             nbr_vec = _make_sharded_inline_chunked(
                 vecs_dev, level0_dev, shard_spec(None, None, None)
             )
@@ -189,24 +335,31 @@ def build_sharded_arrays(
             jax.vmap(make_level0_tiles),
             out_shardings=shard_spec(None, None, None),
         )(level0_dev)
-    else:
-        nbr_vec = put(
-            np.zeros((s, 1, 1, 1), dtype=np.float16), shard_spec(None, None, None)
+
+    if kind in ("unified", "unified8") and max_l > 0:
+        out_sh = tuple(
+            (shard_spec(None, None), shard_spec(None)) for _ in range(max_l)
         )
-        l0_tiles = put(
-            np.zeros((s, 1, 1, 1), dtype=np.int32), shard_spec(None, None, None)
-        )
+        upper_tabs = jax.jit(
+            jax.vmap(make_upper_tables), out_shardings=out_sh
+        )(vecs_dev, upper_dev, upper_slot_dev)
+
     return ShardedIndexArrays(
         vectors=vecs_dev,
         sq_norms=put(sq, shard_spec(None)),
         level0=level0_dev,
-        upper=put(upper, shard_spec(None, None, None)),
-        upper_slot=put(upper_slot, shard_spec(None, None)),
+        upper=upper_dev,
+        upper_slot=upper_slot_dev,
         labels=put(labels, shard_spec(None)),
         entry_point=put(entry, shard_spec()),
         num_nodes=put(nn, shard_spec()),
         nbr_vectors=nbr_vec,
         level0_tiles=l0_tiles,
+        unified_table=uni_tab,
+        codes=codes,
+        scales=scales,
+        upper_tabs=upper_tabs,
+        kind=kind,
     )
 
 
@@ -246,7 +399,8 @@ def sharded_search(
     local entry overrides (-1 = that shard's default entry point).
     """
     q_spec = P(dp_axis, None) if dp_axis else P()
-    # every index leaf is sharded on its leading [S] axis
+    # every index leaf is sharded on its leading [S] axis; `kind` is static
+    # pytree metadata, so the spec instance must carry the same value
     arr_spec = ShardedIndexArrays(
         vectors=P(shard_axis, None, None),
         sq_norms=P(shard_axis, None),
@@ -258,6 +412,14 @@ def sharded_search(
         num_nodes=P(shard_axis),
         nbr_vectors=P(shard_axis, None, None, None),
         level0_tiles=P(shard_axis, None, None, None),
+        unified_table=P(shard_axis, None, None),
+        codes=P(shard_axis, None, None),
+        scales=P(shard_axis, None),
+        upper_tabs=tuple(
+            (P(shard_axis, None, None), P(shard_axis, None))
+            for _ in arrays.upper_tabs
+        ),
+        kind=arrays.kind,
     )
     out_spec = (q_spec, q_spec) if dp_axis else (P(), P())
     elig_spec = P(shard_axis, None)
@@ -266,16 +428,23 @@ def sharded_search(
         P(shard_axis, dp_axis) if (dp_axis and has_entry) else P(shard_axis, None)
     )
 
-    # static at trace time: real inline table vs [S,1,1,1] dummy. The real
-    # table's node axis is n_pad >= 128, the dummy's is 1 — do NOT compare the
-    # trailing dim to the query dim (the table is lane-padded to a multiple of
-    # 128, so that check silently disabled the fast path for dim % 128 != 0).
-    use_inline = arrays.nbr_vectors.shape[1] > 1
+    kind = arrays.kind  # static: selects the per-shard serving tier
     interpret = jax.default_backend() != "tpu"
 
     def local(a: ShardedIndexArrays, q: jax.Array, el: jax.Array, en: jax.Array):
         # strip the leading local-shard dim (size 1 per device)
         a1 = jax.tree_util.tree_map(lambda t: t[0], a)
+        tier_kwargs = {}
+        if kind in ("unified", "unified8"):
+            tier_kwargs = dict(
+                unified_table=a1.unified_table,
+                upper_tables=a1.upper_tabs if a1.upper_tabs else None,
+                unified_int8=kind == "unified8",
+            )
+        elif kind == "split":
+            tier_kwargs = dict(
+                nbr_vectors=a1.nbr_vectors, level0_tiles=a1.level0_tiles
+            )
         res = search_batch(
             a1.vectors,
             _local_graph(a1),
@@ -287,8 +456,7 @@ def sharded_search(
             eligible=el[0] if has_mask else None,
             has_mask=has_mask,
             entry_ids=en[0] if has_entry else None,
-            nbr_vectors=a1.nbr_vectors if use_inline else None,
-            level0_tiles=a1.level0_tiles if use_inline else None,
+            **tier_kwargs,
             expand=expand,
             max_iters=max_iters,
             interpret=interpret,
@@ -315,6 +483,114 @@ def sharded_search(
         check_vma=False,
     )
     return fn(arrays, queries, eligible, entry_ids)
+
+
+def _bucket(k: int) -> int:
+    """Power-of-two delta buckets: O(log) compiled delta programs."""
+    if k <= 0:
+        return 0
+    return max(256, 1 << (k - 1).bit_length())
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "has_sq"),
+    donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8),
+)
+def _apply_sharded_row_deltas(
+    x,  # [S, n_pad, D] (donated)
+    sq,  # [S, n_pad] or [1] dummy (donated)
+    level0,  # [S, n_pad, m0_pad] (donated)
+    labels,  # [S, n_pad] int64 (donated)
+    num_nodes,  # [S] int32 (donated)
+    nbr_vec,  # split inline table or dummy (donated)
+    uni,  # [S, n_pad*s_row, 128] unified table or dummy (donated)
+    codes,  # [S, n_pad, d_pad] int8 or dummy (donated)
+    scales,  # [S, n_pad] f32 or dummy (donated)
+    new_vecs,  # [S, Nb, D]
+    new_ids,  # [S, Nb] int32 (sent-padded)
+    new_labs,  # [S, Nb] int64
+    dirty_ids,  # [S, Kb] int32 (sent-padded)
+    dirty_rows,  # [S, Kb, m0_pad] int32
+    new_nn,  # [S] int32
+    *,
+    kind: str,
+    has_sq: bool,
+):
+    """Sharded mirror of models.hnsw._apply_row_deltas, vmapped over the
+    shard axis: every device applies its own shard's insert/update delta in
+    place. Replaces the full re-stack (`self._arrays = None`) the round-2
+    sharded index did on any mutation."""
+    sent = level0.shape[1] - 1
+
+    def one(x1, sq1, l01, lab1, nv1, uni1, c1, s1, nvecs, nids, nlabs, dids, drows):
+        if nvecs.shape[0]:
+            x1 = x1.at[nids].set(nvecs.astype(x1.dtype))
+            lab1 = lab1.at[nids].set(nlabs)
+            # padding writes hit the sentinel row; restore its -1 label
+            lab1 = lab1.at[sent].set(-1)
+            if has_sq:
+                nsq = jnp.sum(nvecs.astype(jnp.float32) ** 2, axis=-1)
+                sq1 = sq1.at[nids].set(nsq)
+            if kind == "unified8":
+                from hnsw_tpu.ops.pallas_gather import quantize_int8
+
+                nc, ns = quantize_int8(nvecs)
+                if c1.shape[1] != nc.shape[1]:
+                    nc = jnp.pad(nc, ((0, 0), (0, c1.shape[1] - nc.shape[1])))
+                c1 = c1.at[nids].set(nc)
+                s1 = s1.at[nids].set(ns)
+        if dids.shape[0]:
+            l01 = l01.at[dids].set(drows)
+            if kind == "unified":
+                from hnsw_tpu.ops.pallas_gather import pack_unified_rows
+
+                rows_u = pack_unified_rows(x1, drows, sent)  # [K, s_row, 128]
+                s_row = rows_u.shape[1]
+                flat_idx = (dids[:, None] * s_row + jnp.arange(s_row)).reshape(-1)
+                uni1 = uni1.at[flat_idx].set(rows_u.reshape(-1, 128))
+            elif kind == "unified8":
+                from hnsw_tpu.ops.pallas_gather import pack_unified8_rows
+
+                rows8 = pack_unified8_rows(c1, s1, drows, sent)
+                s8 = rows8.shape[1]
+                flat_idx = (dids[:, None] * s8 + jnp.arange(s8)).reshape(-1)
+                uni1 = uni1.at[flat_idx].set(rows8.reshape(-1, 128))
+            elif kind == "split":
+                d_pad = nv1.shape[-1]
+                rows_v = jnp.take(
+                    x1.astype(nv1.dtype), drows.reshape(-1), axis=0
+                )
+                if d_pad != rows_v.shape[-1]:
+                    rows_v = jnp.pad(
+                        rows_v, ((0, 0), (0, d_pad - rows_v.shape[-1]))
+                    )
+                nv1 = nv1.at[dids].set(rows_v.reshape(dids.shape[0], -1, d_pad))
+        return x1, sq1, l01, lab1, nv1, uni1, c1, s1
+
+    sq_in = sq if has_sq else jnp.zeros((x.shape[0], 1), jnp.float32)
+    x, sq_out, level0, labels, nbr_vec, uni, codes, scales = jax.vmap(one)(
+        x, sq_in, level0, labels, nbr_vec, uni, codes, scales,
+        new_vecs, new_ids, new_labs, dirty_ids, dirty_rows,
+    )
+    if kind == "split":
+        from hnsw_tpu.ops.pallas_gather import make_level0_tiles
+
+        l0_tiles = jax.vmap(make_level0_tiles)(level0)
+    else:
+        l0_tiles = jnp.zeros((x.shape[0], 1, 1, 1), jnp.int32)
+    return (
+        x,
+        sq_out if has_sq else sq,
+        level0,
+        labels,
+        new_nn,
+        nbr_vec,
+        l0_tiles,
+        uni,
+        codes,
+        scales,
+    )
 
 
 class ShardedHNSWIndex:
@@ -353,6 +629,9 @@ class ShardedHNSWIndex:
         self._shard_deleted: list[np.ndarray] | None = None  # per-shard bool
         self._label_map: dict[int, tuple[int, int]] | None = None  # label -> (shard, local)
         self._arrays: ShardedIndexArrays | None = None
+        self._synced_n: list[int] | None = None  # per-shard device-synced size
+        self._pending_delta = False
+        self.last_sync_mode: str | None = None
 
     def build(self, data: np.ndarray, labels: np.ndarray | None = None) -> None:
         from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
@@ -400,26 +679,224 @@ class ShardedHNSWIndex:
         self._arrays = build_sharded_arrays(
             shards, self.space, self.mesh, self.shard_axis
         )
+        for b in self._builders:
+            b.clear_dirty()
+        self._synced_n = [b.size for b in self._builders]
+        self._pending_delta = False
+        self.last_sync_mode = "full"
 
     @property
     def arrays(self) -> ShardedIndexArrays:
         assert self._builders is not None, "call build() first"
         if self._arrays is None:
             self._rebuild_arrays()
+        elif self._pending_delta:
+            if self._try_shard_deltas():
+                self.last_sync_mode = "delta"
+                self._pending_delta = False
+            else:
+                self._rebuild_arrays()
         return self._arrays
+
+    def _try_shard_deltas(self) -> bool:
+        """Apply per-shard insert/update deltas to the stacked device arrays
+        in place (the sharded mirror of HNSWIndex._try_incremental_sync).
+        Returns False when only a full re-stack is correct: growth past the
+        padded capacity, upper-array shape growth, or an oversized delta."""
+        import dataclasses as _dc
+
+        a = self._arrays
+        kind = a.kind
+        s = self.num_shards
+        n_pad = a.level0.shape[1]
+        m0_pad = a.level0.shape[2]
+        sent = n_pad - 1
+        dim = self.dim
+
+        per = []  # (dirty_ids, rows, new_ids, new_vecs, new_labs)
+        any_upper = False
+        for i, b in enumerate(self._builders):
+            flags = b.dirty_flags
+            if flags & 2:
+                return False
+            n_i = b.size
+            if n_i + 1 > n_pad:
+                return False
+            n_upd = b.flush_updates()
+            vec_ids = b.take_vec_dirty(n_upd)
+            dirty = b.take_dirty()
+            if len(dirty) > n_pad // 2:
+                return False
+            any_upper |= bool(flags & 1)
+            rows = b.export_level0_rows(dirty)
+            rows = np.where(rows < 0, sent, rows).astype(np.int32)
+            if rows.shape[1] != m0_pad:
+                rows = np.concatenate(
+                    [
+                        rows,
+                        np.full(
+                            (len(dirty), m0_pad - rows.shape[1]), sent, np.int32
+                        ),
+                    ],
+                    axis=1,
+                )
+            old_n = self._synced_n[i]
+            n_new = n_i - old_n
+            nid = np.concatenate(
+                [np.arange(old_n, n_i, dtype=np.int32), vec_ids.astype(np.int32)]
+            )
+            nvec = np.concatenate(
+                [
+                    b.export_vectors_range(old_n, n_new),
+                    b.export_vectors_rows(vec_ids),
+                ]
+            )
+            nlab = np.concatenate(
+                [
+                    b.export_labels_range(old_n, n_new),
+                    np.asarray(
+                        [self._shard_labels[i][j] for j in vec_ids], np.int64
+                    )
+                    if len(vec_ids)
+                    else np.zeros(0, np.int64),
+                ]
+            )
+            per.append((dirty, rows, nid, nvec, nlab))
+
+        kb = _bucket(max(len(p[0]) for p in per))
+        nb = _bucket(max(len(p[2]) for p in per))
+        if kb == 0 and nb == 0 and not any_upper:
+            return True
+
+        dirty_ids = np.full((s, kb), sent, np.int32)
+        dirty_rows = np.full((s, kb, m0_pad), sent, np.int32)
+        new_ids = np.full((s, nb), sent, np.int32)
+        new_vecs = np.zeros((s, nb, dim), np.float32)
+        new_labs = np.full((s, nb), -1, np.int64)
+        for i, (dirty, rows, nid, nvec, nlab) in enumerate(per):
+            dirty_ids[i, : len(dirty)] = dirty
+            dirty_rows[i, : len(dirty)] = rows
+            new_ids[i, : len(nid)] = nid
+            new_vecs[i, : len(nid)] = nvec
+            new_labs[i, : len(nid)] = nlab
+        new_nn = jnp.asarray([b.size for b in self._builders], jnp.int32)
+
+        has_sq = self.space.name == "l2"
+        (
+            x, sq, level0, labels, nn, nbr_vec, l0_tiles, uni, codes, scales,
+        ) = _apply_sharded_row_deltas(
+            a.vectors,
+            a.sq_norms if has_sq else jnp.zeros((1,), jnp.float32),
+            a.level0,
+            a.labels,
+            a.num_nodes,
+            a.nbr_vectors,
+            a.unified_table,
+            a.codes,
+            a.scales,
+            jnp.asarray(new_vecs),
+            jnp.asarray(new_ids),
+            jnp.asarray(new_labs),
+            jnp.asarray(dirty_ids),
+            jnp.asarray(dirty_rows),
+            new_nn,
+            kind=kind,
+            has_sq=has_sq,
+        )
+        rep = dict(
+            vectors=x,
+            sq_norms=sq if has_sq else a.sq_norms,
+            level0=level0,
+            labels=labels,
+            num_nodes=nn,
+            unified_table=uni,
+            codes=codes,
+            scales=scales,
+            # nbr_vectors was donated even when it's a dummy — always take
+            # the pass-through output, or the stale reference is a deleted
+            # buffer
+            nbr_vectors=nbr_vec,
+        )
+        if kind == "split":
+            rep.update(level0_tiles=l0_tiles)
+
+        if any_upper:
+            # upper arrays are small (~N/M rows): re-derive wholesale, but
+            # only within the existing stacked padding — growth re-stacks
+            from hnsw_tpu.core.graph import upper_host_arrays
+
+            max_l = a.upper.shape[1]
+            u_pad = a.upper.shape[2]
+            max_m = a.upper.shape[3]
+            upper = np.full((s, max_l, u_pad, max_m), sent, dtype=np.int32)
+            upper_slot = np.full((s, max_l, n_pad), u_pad - 1, dtype=np.int32)
+            entry = np.zeros(s, dtype=np.int32)
+            for i, b in enumerate(self._builders):
+                g = b.export_graph()
+                up_i, us_i = upper_host_arrays(g, n_pad)
+                if (
+                    up_i.shape[0] > max_l
+                    or up_i.shape[1] > u_pad
+                    or (up_i.shape[0] and up_i.shape[2] > max_m)
+                ):
+                    return False
+                if up_i.shape[0]:
+                    upper[i, : up_i.shape[0], : up_i.shape[1], : up_i.shape[2]] = (
+                        up_i
+                    )
+                    # shard-local dummy slot -> stacked dummy (see
+                    # build_sharded_arrays)
+                    upper_slot[i, : us_i.shape[0]] = np.where(
+                        us_i == up_i.shape[1] - 1, u_pad - 1, us_i
+                    )
+                entry[i] = g.entry_point
+            spec = lambda *rest: NamedSharding(
+                self.mesh, P(self.shard_axis, *rest)
+            )
+            rep.update(
+                upper=jax.device_put(jnp.asarray(upper), spec(None, None, None)),
+                upper_slot=jax.device_put(
+                    jnp.asarray(upper_slot), spec(None, None)
+                ),
+                entry_point=jax.device_put(jnp.asarray(entry), spec()),
+            )
+            if kind in ("unified", "unified8") and max_l > 0:
+                from hnsw_tpu.ops.pallas_gather import make_upper_tables
+
+                out_sh = tuple(
+                    (spec(None, None), spec(None)) for _ in range(max_l)
+                )
+                rep["upper_tabs"] = jax.jit(
+                    jax.vmap(make_upper_tables), out_shardings=out_sh
+                )(x, rep["upper"], rep["upper_slot"])
+
+        self._arrays = _dc.replace(a, **rep)
+        self._synced_n = [b.size for b in self._builders]
+        return True
 
     # -- mutation (single-chip parity: add/delete by external label) --------
 
     def add_items(self, data: np.ndarray, labels: np.ndarray | None = None) -> None:
-        """Incremental insert: rows are distributed to the smallest shards
-        (keeps the round-robin balance); device arrays re-stack lazily on the
-        next search."""
+        """Incremental insert: new rows are distributed to the smallest
+        shards (keeps the round-robin balance); labels that already exist
+        route to their owning shard as in-place updates. Device arrays
+        re-sync as per-shard row deltas on the next search (full re-stack
+        only on capacity growth)."""
         assert self._builders is not None, "call build() first"
         data = self.space.preprocess(data)
         if labels is None:
             start = sum(b.size for b in self._builders)
             labels = np.arange(start, start + data.shape[0], dtype=np.int64)
         labels = np.asarray(labels, dtype=np.int64).reshape(-1)
+        exists = np.asarray(
+            [int(l) in self._label_map for l in labels], dtype=bool
+        )
+        # in-place updates go to the shard that owns the label
+        for row, lab in zip(data[exists], labels[exists]):
+            i, local = self._label_map[int(lab)]
+            self._builders[i].add_batch(row[None, :], np.asarray([lab]))
+            self._shard_deleted[i][local] = False
+        data, labels = data[~exists], labels[~exists]
         sizes = np.asarray([b.size for b in self._builders])
         # assign items round-robin starting from the currently smallest shards
         rank = np.argsort(sizes, kind="stable")
@@ -437,7 +914,7 @@ class ShardedHNSWIndex:
             )
             for off, lab in enumerate(labs):
                 self._label_map[int(lab)] = (i, first_local + off)
-        self._arrays = None  # re-stack lazily
+        self._pending_delta = True  # row-delta re-sync on next search
 
     def mark_deleted(self, label: int) -> None:
         loc = self._label_map.get(int(label))
@@ -515,6 +992,11 @@ class ShardedHNSWIndex:
         self._arrays = build_sharded_arrays(
             shards, self.space, self.mesh, self.shard_axis
         )
+        for b in self._builders:
+            b.clear_dirty()
+        self._synced_n = [b.size for b in self._builders]
+        self._pending_delta = False
+        self.last_sync_mode = "full"
         self._reindex_labels()
 
     def search(

@@ -1,0 +1,120 @@
+"""Sharded serving-tier ladder + incremental re-stack (VERDICT r2 item 1):
+the sharded path must reach the same unified/unified8/split tiers as the
+single-chip index, and mutations must apply as per-shard row deltas instead
+of a full re-stack."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from hnsw_tpu.core.spaces import L2Space
+from hnsw_tpu.models.bruteforce import BruteforceIndex
+from hnsw_tpu.parallel.sharding import ShardedHNSWIndex, build_sharded_arrays
+
+N, DIM = 3000, 32
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(23)
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    q = x[rng.integers(0, N, 32)] + 0.01 * rng.normal(size=(32, DIM)).astype(
+        np.float32
+    )
+    oracle = BruteforceIndex(L2Space(DIM))
+    oracle.add_items(x, np.arange(N))
+    _, gt = oracle.search_knn(q, 10)
+    return x, q, gt
+
+
+def _recall(got, gt):
+    k = gt.shape[1]
+    return np.mean([len(set(got[i]) & set(gt[i])) / k for i in range(len(gt))])
+
+
+def _force_tier(idx, mesh, kind_budget):
+    """(Re)build the stacked arrays at the requested tier."""
+    shards = [
+        (b.export_graph(), b.export_vectors()) for b in idx._builders
+    ]
+    idx._arrays = build_sharded_arrays(
+        shards, idx.space, mesh, "shard",
+        inline_neighbors=kind_budget is not None,
+        unified_max_bytes=kind_budget,
+    )
+    for b in idx._builders:
+        b.clear_dirty()
+    idx._synced_n = [b.size for b in idx._builders]
+    idx._pending_delta = False
+
+
+def _build(x, kind_budget, mesh):
+    """Force a tier by steering the budget/inline flags."""
+    idx = ShardedHNSWIndex("l2", DIM, mesh=mesh, m=8, ef_construction=100)
+    idx.build(x)
+    _force_tier(idx, mesh, kind_budget)
+    return idx
+
+
+@pytest.mark.parametrize(
+    "budget,expect",
+    [
+        (None, "off"),
+        (1 << 40, "unified"),
+        (2 * 10**6, "unified8"),  # too small for bf16 unified, fits int8
+        (0, "split"),
+    ],
+)
+def test_tier_ladder_recall(data, budget, expect):
+    x, q, gt = data
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    idx = _build(x, budget, mesh)
+    assert idx._arrays.kind == expect, (idx._arrays.kind, expect)
+    d, labels = idx.search(q, k=10, ef=150)
+    r = _recall(labels, gt)
+    floor = 0.93 if expect == "unified8" else 0.95
+    assert r >= floor, f"kind={expect} recall {r}"
+
+
+@pytest.mark.parametrize("budget,expect", [(1 << 40, "unified"), (0, "split")])
+def test_incremental_delta_per_tier(data, budget, expect):
+    x, q, gt = data
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    idx = _build(x, budget, mesh)
+    assert idx._arrays.kind == expect
+    idx.search(q, k=10, ef=100)
+
+    rng = np.random.default_rng(5)
+    extra = rng.normal(size=(64, DIM)).astype(np.float32)
+    idx.add_items(extra, np.arange(N, N + 64))
+    d, labels = idx.search(extra, k=1, ef=150)
+    assert idx.last_sync_mode == "delta", idx.last_sync_mode
+    hit = (labels[:, 0] == np.arange(N, N + 64)).mean()
+    assert hit >= 0.9, hit
+
+    # in-place update routes to the owning shard and re-syncs as a delta
+    upd = rng.normal(size=(8, DIM)).astype(np.float32)
+    upd_labels = np.arange(100, 900, 100)
+    idx.add_items(upd, upd_labels)
+    d2, l2 = idx.search(upd, k=1, ef=150)
+    assert idx.last_sync_mode == "delta", idx.last_sync_mode
+    assert (l2[:, 0] == upd_labels).mean() >= 0.9
+
+    # delta state must match a from-scratch rebuild AT THE SAME TIER
+    d_delta, l_delta = idx.search(q, k=10, ef=150)
+    _force_tier(idx, mesh, budget)
+    d_full, l_full = idx.search(q, k=10, ef=150)
+    np.testing.assert_allclose(d_delta, d_full, rtol=1e-5)
+    np.testing.assert_array_equal(l_delta, l_full)
+
+
+def test_delete_after_delta(data):
+    x, q, gt = data
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    idx = _build(x, 1 << 40, mesh)
+    idx.search(q, k=10, ef=100)
+    victim = int(gt[0][0])
+    idx.mark_deleted(victim)
+    d, labels = idx.search(q, k=10, ef=150)
+    assert victim not in set(labels.reshape(-1).tolist())
