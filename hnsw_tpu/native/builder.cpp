@@ -29,6 +29,7 @@
 #include <mutex>
 #include <queue>
 #include <random>
+#include <shared_mutex>
 #include <stdexcept>
 #include <string>
 #include <thread>
@@ -138,7 +139,7 @@ struct HnswBuilder {
   std::vector<float> data;          // [n, dim]
   std::vector<int64_t> labels;      // [n]
   std::vector<int32_t> node_level;  // [n]
-  std::vector<uint8_t> deleted;     // [n]
+  std::vector<uint8_t> deleted;     // [n] (accessed via del_get/del_set)
   // level-0 adjacency: flat [n, maxM0], -1 padded.
   std::vector<int32_t> links0;
   std::vector<int32_t> cnt0;  // [n] valid-link counts
@@ -149,7 +150,18 @@ struct HnswBuilder {
   int32_t entry_point = -1;
   int max_level = -1;
   std::unordered_map<int64_t, uint32_t> label_to_id;
-  size_t num_deleted = 0;
+  std::atomic<size_t> num_deleted{0};
+
+  // Delete marks are read by concurrent searches while a writer flips them
+  // (markDelete is lock-free vs queries in hnswlib too, hnswalg.h:867-877,
+  // which uses a flag byte inside the link-count word): relaxed atomic
+  // byte access keeps that behavior defined.
+  inline bool del_get(uint32_t id) const {
+    return __atomic_load_n(&deleted[id], __ATOMIC_RELAXED) != 0;
+  }
+  inline void del_set(uint32_t id, bool v) {
+    __atomic_store_n(&deleted[id], uint8_t(v), __ATOMIC_RELAXED);
+  }
   // Deleted slots available for reuse (allow_replace_deleted semantics,
   // hnswalg.h:954-961 with the deleted_elements_ set at 815,879-921).
   std::unordered_set<uint32_t> deleted_ids;
@@ -233,6 +245,18 @@ struct HnswBuilder {
   static constexpr size_t kStripes = 65536;
   mutable std::vector<std::mutex> link_locks{kStripes};
   std::mutex entry_lock;  // entry_point/max_level (hnswalg.h:42)
+
+  // Growth lock: hnswlib PREALLOCATES max_elements so addPoint never moves
+  // storage and queries can run lock-free alongside inserts; this engine
+  // grows std::vectors instead, so a reallocation during a concurrent read
+  // is a use-after-free (caught by the TSan stress, bin/tsan_check.py —
+  // reader thread SEGV'd mid insert_batch). Registration/update phases take
+  // it unique; searches and the threaded link phase take it shared.
+  mutable std::shared_mutex grow_lock;
+  // Count of in-flight writer operations: searches escalate to
+  // stripe-locked neighbor reads only while a writer is active, so the
+  // single-threaded serving path stays lock-free on links.
+  std::atomic<int> writers{0};
 
   std::mutex& lock_of(uint32_t id) const { return link_locks[id & (kStripes - 1)]; }
 
@@ -330,7 +354,7 @@ struct HnswBuilder {
     visited.test_and_set(ep);
     candidates.push({d0, ep});
     float lower_bound;
-    if ((!skip_deleted_results || !deleted[ep]) && (!elig || elig[ep])) {
+    if ((!skip_deleted_results || !del_get(ep)) && (!elig || elig[ep])) {
       results.push({d0, ep});
       lower_bound = d0;
     } else {
@@ -358,7 +382,7 @@ struct HnswBuilder {
         float d = dist(q, vec(cand));
         if (results.size() < size_t(ef) || d < lower_bound) {
           candidates.push({d, cand});
-          if ((!skip_deleted_results || !deleted[cand]) &&
+          if ((!skip_deleted_results || !del_get(cand)) &&
               (!elig || elig[cand])) {
             results.push({d, cand});
             if (results.size() > size_t(ef)) results.pop();
@@ -400,14 +424,14 @@ struct HnswBuilder {
   // Returns the closest selected neighbor (next entry point).
   uint32_t connect(uint32_t id, std::vector<Cand>& cands, int level,
                    bool locked = false) {
+    (void)locked;  // link writes are always stripe-locked now
     int m_cap = level == 0 ? maxM0 : M;
     select_neighbors(cands, M);  // forward selection capped at M (hnswalg.h:513)
     uint32_t closest = cands.empty() ? id : cands.front().id;
     float best = std::numeric_limits<float>::max();
 
     {
-      std::unique_lock<std::mutex> g(lock_of(id), std::defer_lock);
-      if (locked) g.lock();
+      std::lock_guard<std::mutex> g(lock_of(id));
       int32_t* cntp;
       int32_t* my = mutable_neighbors(id, level, &cntp);
       *cntp = 0;
@@ -423,8 +447,7 @@ struct HnswBuilder {
     if (level == 0) mark0(id); else upper_dirty = true;
 
     for (const Cand& c : cands) {
-      std::unique_lock<std::mutex> g(lock_of(c.id), std::defer_lock);
-      if (locked) g.lock();
+      std::lock_guard<std::mutex> g(lock_of(c.id));
       int32_t* ocntp;
       int32_t* other = mutable_neighbors(c.id, level, &ocntp);
       // the link may already exist (update/repair path re-links a live node)
@@ -460,8 +483,21 @@ struct HnswBuilder {
     return closest;
   }
 
+  // RAII writer presence: searches escalate to stripe-locked neighbor
+  // reads while any writer op is in flight; the first unique grow_lock
+  // acquisition inside the op drains searches that began before the flag
+  // was visible.
+  struct WriterScope {
+    HnswBuilder* b;
+    explicit WriterScope(HnswBuilder* b_) : b(b_) {
+      b->writers.fetch_add(1, std::memory_order_acq_rel);
+    }
+    ~WriterScope() { b->writers.fetch_sub(1, std::memory_order_release); }
+  };
+
   // Core insert (addPoint semantics, hnswalg.h:954-1267).
   void insert(const float* v, int64_t label) {
+    WriterScope ws(this);
     std::lock_guard<std::mutex> g(big_lock);
     auto it = label_to_id.find(label);
     if (it != label_to_id.end()) {
@@ -469,27 +505,31 @@ struct HnswBuilder {
       return;
     }
     uint32_t id = uint32_t(n);
-    ++n;
-    data.insert(data.end(), v, v + dim);
-    labels.push_back(label);
-    deleted.push_back(0);
-    cnt0.push_back(0);
-    links0.resize(n * size_t(maxM0), -1);
     int level = random_level();
-    node_level.push_back(level);
-    links_upper.emplace_back(size_t(level) * M, -1);
-    cnt_upper.emplace_back(size_t(level), 0);
-    label_to_id.emplace(label, id);
+    {
+      std::unique_lock<std::shared_mutex> gg(grow_lock);
+      ++n;
+      data.insert(data.end(), v, v + dim);
+      labels.push_back(label);
+      deleted.push_back(0);
+      cnt0.push_back(0);
+      links0.resize(n * size_t(maxM0), -1);
+      node_level.push_back(level);
+      links_upper.emplace_back(size_t(level) * M, -1);
+      cnt_upper.emplace_back(size_t(level), 0);
+      label_to_id.emplace(label, id);
+    }
 
     mark0(id);
     if (level > 0) upper_dirty = true;
     if (entry_point < 0) {
+      std::lock_guard<std::mutex> ge(entry_lock);
       entry_point = int32_t(id);
       max_level = level;
       upper_dirty = true;
       return;
     }
-    link_node(id, level, /*locked=*/false, nullptr);
+    link_node(id, level, /*locked=*/writers.load() > 1, nullptr);
   }
 
   // Descend + search + mutually connect a pre-registered node. With
@@ -537,10 +577,12 @@ struct HnswBuilder {
   // phase 3 applies updates of pre-existing labels serially.
   void insert_batch(const float* vecs, const int64_t* batch_labels,
                     size_t count, int n_threads) {
+    WriterScope ws(this);
     std::vector<uint32_t> fresh;
     std::vector<size_t> updates;
     {
       std::lock_guard<std::mutex> g(big_lock);
+      std::unique_lock<std::shared_mutex> gg(grow_lock);
       fresh.reserve(count);
       for (size_t i = 0; i < count; ++i) {
         int64_t label = batch_labels[i];
@@ -564,6 +606,7 @@ struct HnswBuilder {
         mark0(id);
         if (level > 0) upper_dirty = true;
         if (entry_point < 0) {
+          std::lock_guard<std::mutex> ge(entry_lock);
           entry_point = int32_t(id);
           max_level = level;
           upper_dirty = true;
@@ -579,7 +622,8 @@ struct HnswBuilder {
     n_threads = std::min<size_t>(n_threads, std::max<size_t>(fresh.size(), 1));
     if (n_threads <= 1 || fresh.size() < 64) {
       VisitedSet vis;
-      for (uint32_t id : fresh) link_node(id, node_level[id], false, &vis);
+      bool lk = writers.load() > 1;  // another writer op may be in flight
+      for (uint32_t id : fresh) link_node(id, node_level[id], lk, &vis);
     } else {
       std::atomic<size_t> next{0};
       std::vector<std::thread> pool;
@@ -610,13 +654,18 @@ struct HnswBuilder {
   // lives above level 0 — upper tables are small and rebuilt wholesale on
   // upper_dirty.
   void update(uint32_t id, const float* v) {
-    std::memcpy(data.data() + size_t(id) * dim, v, sizeof(float) * dim);
+    {
+      // drains concurrent searches: their reads of this vector are done
+      // before the exclusive lock is granted
+      std::unique_lock<std::shared_mutex> gg(grow_lock);
+      std::memcpy(data.data() + size_t(id) * dim, v, sizeof(float) * dim);
+    }
     mark_vec(id);
     mark0(id);  // its own row is re-linked below
     if (node_level[id] > 0) upper_dirty = true;
-    if (deleted[id]) {
-      deleted[id] = 0;
-      --num_deleted;
+    if (del_get(id)) {
+      del_set(id, false);
+      num_deleted.fetch_sub(1);
       deleted_ids.erase(id);
     }
     if (n == 1) return;
@@ -651,6 +700,7 @@ struct HnswBuilder {
   // label mapping, update the vector in place and re-link at the slot's
   // existing level). Returns 1 if a slot was reused, 0 if appended.
   int insert_replace(const float* v, int64_t label) {
+    WriterScope ws(this);
     uint32_t reuse_id;
     {
       std::lock_guard<std::mutex> g(big_lock);
@@ -669,8 +719,8 @@ struct HnswBuilder {
         label_to_id.erase(old_label);
         labels[reuse_id] = label;
         label_to_id.emplace(label, reuse_id);
-        deleted[reuse_id] = 0;
-        --num_deleted;
+        del_set(reuse_id, false);
+        num_deleted.fetch_sub(1);
         update(reuse_id, v);
         return 1;
       }
@@ -683,9 +733,9 @@ struct HnswBuilder {
     std::lock_guard<std::mutex> g(big_lock);
     auto it = label_to_id.find(label);
     if (it == label_to_id.end()) return false;
-    if (deleted[it->second] != uint8_t(del)) {
-      deleted[it->second] = uint8_t(del);
-      num_deleted += del ? 1 : -1;
+    if (del_get(it->second) != del) {
+      del_set(it->second, del);
+      if (del) num_deleted.fetch_add(1); else num_deleted.fetch_sub(1);
       if (del) deleted_ids.insert(it->second);
       else deleted_ids.erase(it->second);
     }
@@ -698,13 +748,32 @@ struct HnswBuilder {
   // filtered nodes are traversed but excluded from results — the CPU
   // parity oracle for the device path's `eligible` mask.
   int search(const float* q, int k, int ef, int64_t* out_labels,
-             float* out_dists, const uint8_t* elig = nullptr) const {
-    if (n == 0 || entry_point < 0) return 0;
-    uint32_t ep = uint32_t(entry_point);
+             float* out_dists, const uint8_t* elig = nullptr,
+             VisitedSet* vis = nullptr) const {
+    // shared growth lock: (a) no vector reallocation mid-search, (b) a
+    // writer's first exclusive acquisition drains searches that started
+    // before its `writers` increment was visible
+    std::shared_lock<std::shared_mutex> sg(grow_lock);
+    // stripe-locked neighbor reads only while a writer op is in flight —
+    // the single-threaded serving path stays lock-free
+    bool locked =
+        const_cast<HnswBuilder*>(this)->writers.load(
+            std::memory_order_acquire) > 0;
+    int ml;
+    int32_t epi;
+    {
+      std::lock_guard<std::mutex> ge(
+          const_cast<HnswBuilder*>(this)->entry_lock);
+      ml = max_level;
+      epi = entry_point;
+    }
+    if (n == 0 || epi < 0) return 0;
+    uint32_t ep = uint32_t(epi);
     float ep_d = dist(q, vec(ep));
-    for (int l = max_level; l > 0; --l) ep = greedy_level(q, ep, l, &ep_d);
-    MaxHeap top = search_layer(q, ep, 0, std::max(ef, k), num_deleted > 0,
-                               false, nullptr, elig);
+    for (int l = ml; l > 0; --l)
+      ep = greedy_level(q, ep, l, &ep_d, locked);
+    MaxHeap top = search_layer(q, ep, 0, std::max(ef, k),
+                               num_deleted.load() > 0, locked, vis, elig);
     std::vector<Cand> res;
     res.reserve(top.size());
     while (!top.empty()) {
@@ -751,6 +820,7 @@ void hnsw_add_batch(HnswBuilder* b, const float* vecs, const int64_t* labels,
 // level-0-only population can be wave-linked separately).
 void hnsw_add_with_level(HnswBuilder* b, const float* vec, int64_t label,
                          int level) {
+  HnswBuilder::WriterScope ws(b);
   std::lock_guard<std::mutex> g(b->big_lock);
   auto it = b->label_to_id.find(label);
   if (it != b->label_to_id.end()) {
@@ -758,32 +828,38 @@ void hnsw_add_with_level(HnswBuilder* b, const float* vec, int64_t label,
     return;
   }
   uint32_t id = uint32_t(b->n);
-  ++b->n;
-  b->data.insert(b->data.end(), vec, vec + b->dim);
-  b->labels.push_back(label);
-  b->deleted.push_back(0);
-  b->cnt0.push_back(0);
-  b->links0.resize(b->n * size_t(b->maxM0), -1);
-  b->node_level.push_back(level);
-  b->links_upper.emplace_back(size_t(level) * b->M, -1);
-  b->cnt_upper.emplace_back(size_t(level), 0);
-  b->label_to_id.emplace(label, id);
+  {
+    std::unique_lock<std::shared_mutex> gg(b->grow_lock);
+    ++b->n;
+    b->data.insert(b->data.end(), vec, vec + b->dim);
+    b->labels.push_back(label);
+    b->deleted.push_back(0);
+    b->cnt0.push_back(0);
+    b->links0.resize(b->n * size_t(b->maxM0), -1);
+    b->node_level.push_back(level);
+    b->links_upper.emplace_back(size_t(level) * b->M, -1);
+    b->cnt_upper.emplace_back(size_t(level), 0);
+    b->label_to_id.emplace(label, id);
+  }
   b->mark0(id);
   if (level > 0) b->upper_dirty = true;
   if (b->entry_point < 0) {
+    std::lock_guard<std::mutex> ge(b->entry_lock);
     b->entry_point = int32_t(id);
     b->max_level = level;
     b->upper_dirty = true;
     return;
   }
-  b->link_node(id, level, false, nullptr);
+  b->link_node(id, level, b->writers.load() > 1, nullptr);
 }
 
 // Register level-0 nodes WITHOUT linking (they become reachable only after
 // hnsw_connect_batch applies their links). Returns the first assigned id.
 int64_t hnsw_register_level0_batch(HnswBuilder* b, const float* vecs,
                                    const int64_t* labels, int64_t count) {
+  HnswBuilder::WriterScope ws(b);
   std::lock_guard<std::mutex> g(b->big_lock);
+  std::unique_lock<std::shared_mutex> gg(b->grow_lock);
   int64_t first = int64_t(b->n);
   for (int64_t i = 0; i < count; ++i) {
     uint32_t id = uint32_t(b->n);
@@ -800,6 +876,7 @@ int64_t hnsw_register_level0_batch(HnswBuilder* b, const float* vecs,
     b->label_to_id.emplace(labels[i], id);
     b->mark0(id);
     if (b->entry_point < 0) {
+      std::lock_guard<std::mutex> ge(b->entry_lock);
       b->entry_point = int32_t(id);
       b->max_level = 0;
       b->upper_dirty = true;
@@ -813,6 +890,10 @@ int64_t hnsw_register_level0_batch(HnswBuilder* b, const float* vecs,
 // semantics, hnswalg.h:506-630). selected: [count, m_sel], -1 padded.
 void hnsw_connect_batch(HnswBuilder* b, const uint32_t* ids, int64_t count,
                         const int32_t* selected, int m_sel) {
+  HnswBuilder::WriterScope ws(b);
+  // drain searches that started before the writer flag was visible (they
+  // read neighbor lists without stripe locks)
+  { std::unique_lock<std::shared_mutex> gg(b->grow_lock); }
   for (int64_t i = 0; i < count; ++i) {
     uint32_t id = ids[i];
     std::vector<Cand> cands;
@@ -935,9 +1016,11 @@ HnswBuilder* hnsw_import(int dim, int space, int M, int ef_construction,
   return b;
 }
 
+static thread_local VisitedSet tls_visited;
+
 int hnsw_search(HnswBuilder* b, const float* q, int k, int ef,
                 int64_t* out_labels, float* out_dists) {
-  return b->search(q, k, ef, out_labels, out_dists);
+  return b->search(q, k, ef, out_labels, out_dists, nullptr, &tls_visited);
 }
 
 // Filtered search: `eligible` is a per-internal-id mask (1 = allowed), the
@@ -946,7 +1029,7 @@ int hnsw_search(HnswBuilder* b, const float* q, int k, int ef,
 int hnsw_search_filtered(HnswBuilder* b, const float* q, int k, int ef,
                          const uint8_t* eligible, int64_t* out_labels,
                          float* out_dists) {
-  return b->search(q, k, ef, out_labels, out_dists, eligible);
+  return b->search(q, k, ef, out_labels, out_dists, eligible, &tls_visited);
 }
 
 void hnsw_search_batch_filtered(HnswBuilder* b, const float* qs, int64_t nq,
@@ -956,7 +1039,8 @@ void hnsw_search_batch_filtered(HnswBuilder* b, const float* qs, int64_t nq,
   for (int64_t i = 0; i < nq; ++i) {
     out_counts[i] = b->search(qs + size_t(i) * b->dim, k, ef,
                               out_labels + size_t(i) * k,
-                              out_dists + size_t(i) * k, eligible);
+                              out_dists + size_t(i) * k, eligible,
+                              &tls_visited);
   }
 }
 
@@ -1072,7 +1156,8 @@ void hnsw_search_batch(HnswBuilder* b, const float* qs, int64_t nq, int k,
   for (int64_t i = 0; i < nq; ++i) {
     out_counts[i] = b->search(qs + size_t(i) * b->dim, k, ef,
                               out_labels + size_t(i) * k,
-                              out_dists + size_t(i) * k);
+                              out_dists + size_t(i) * k, nullptr,
+                              &tls_visited);
   }
 }
 
