@@ -499,14 +499,26 @@ def bulk_build(
     wave = resume_wave or first_wave
     if resume_pos is None:
         save_state(0, first_wave)  # checkpoint the (expensive) upper phase
-    # Waves churn large row deltas; with a >10GiB unified table live the
-    # per-wave delta refresh would peak past HBM. Clamp the budget so waves
-    # run on split tables; callers upgrade the finished index for serving
-    # with rebuild_device_tables().
-    from hnsw_tpu.models.hnsw import UNIFIED_WAVE_MAX_BYTES
+    # Wave tier: split tables when they fit (their row-delta refresh is a
+    # plain bf16 gather+scatter, 0.1-3.6s/wave at 1M) — but past
+    # SPLIT_MAX_BYTES (N=2M: 15.3GB) round 2 fell all the way to XLA-gather
+    # search at ~9s/wave. The int8 unified tier (9.3GB at 2M) now serves
+    # waves instead: its delta refresh is one flat row scatter since the
+    # fori_loop -> scatter rewrite in _apply_row_deltas.
+    from hnsw_tpu.core.graph import round_up
+    from hnsw_tpu.models.hnsw import SPLIT_MAX_BYTES, UNIFIED_WAVE_MAX_BYTES
 
     serve_unified_budget = idx.unified_max_bytes
-    idx.unified_max_bytes = min(serve_unified_budget, UNIFIED_WAVE_MAX_BYTES)
+    n_pad_est = round_up(n + 1, 128)
+    m0_pad = max(16, -(-2 * m // 16) * 16)
+    d_pad = -(-space.dim // 128) * 128
+    split_fits = n_pad_est * m0_pad * d_pad * 2 <= SPLIT_MAX_BYTES
+    if split_fits:
+        idx.unified_max_bytes = min(serve_unified_budget, UNIFIED_WAVE_MAX_BYTES)
+    else:
+        # bf16 unified is always bigger than split, so the serve budget here
+        # resolves to unified8 (or the gather fallback if even that is big)
+        idx.unified_max_bytes = serve_unified_budget
     last_save = time.time()
     while pos < len(lo):
         cnt = min(wave, len(lo) - pos)

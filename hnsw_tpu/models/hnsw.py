@@ -104,33 +104,26 @@ def _apply_row_deltas(
             sent = level0.shape[0] - 1
             rows8 = pack_unified8_rows(codes, scales, dirty_rows, sent)
             s8 = rows8.shape[1]
-
-            def upd_row8(i, tab):
-                return jax.lax.dynamic_update_slice(
-                    tab, rows8[i], (dirty_ids[i] * s8, 0)
-                )
-
-            nbr_vec = jax.lax.fori_loop(
-                0, dirty_ids.shape[0], upd_row8, nbr_vec
-            )
+            # one flat row scatter (K*s8 128-lane rows, ~100ns each
+            # serialized) — the round-2 fori_loop of dynamic_update_slices
+            # serialized per DIRTY NODE with full-table dataflow between
+            # steps and dominated wave time, which is why waves could not
+            # use unified tiers
+            flat = (
+                dirty_ids[:, None] * s8 + jnp.arange(s8, dtype=jnp.int32)
+            ).reshape(-1)
+            nbr_vec = nbr_vec.at[flat].set(rows8.reshape(-1, 128))
         elif inline_kind == "unified":
             from hnsw_tpu.ops.pallas_gather import pack_unified_rows
 
             sent = level0.shape[0] - 1
             rows_u = pack_unified_rows(x, dirty_rows, sent)  # [K, s_data, 128]
             s_data = rows_u.shape[1]
-
-            # the 2D dense table updates row-block-wise (a scatter would
-            # serialize per 128-lane row; sentinel-padded dirty ids rewrite
-            # the sentinel row with identical content — harmless)
-            def upd_row(i, tab):
-                return jax.lax.dynamic_update_slice(
-                    tab, rows_u[i], (dirty_ids[i] * s_data, 0)
-                )
-
-            nbr_vec = jax.lax.fori_loop(
-                0, dirty_ids.shape[0], upd_row, nbr_vec
-            )
+            flat = (
+                dirty_ids[:, None] * s_data
+                + jnp.arange(s_data, dtype=jnp.int32)
+            ).reshape(-1)
+            nbr_vec = nbr_vec.at[flat].set(rows_u.reshape(-1, 128))
         elif inline_kind == "split":
             from hnsw_tpu.ops.pallas_gather import make_level0_tiles
 
@@ -146,6 +139,26 @@ def _apply_row_deltas(
                 rows_v.reshape(dirty_ids.shape[0], -1, d_pad)
             )
     return x, sq, level0, nbr_vec, l0_tiles, codes, scales
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "m", "space", "interpret")
+)
+def _rescore_topk(q, x, ids, dists, *, k, m, space, interpret):
+    """Re-rank the first m beam candidates with exact distances from the
+    full-precision vector table, return the best k. One Pallas row-gather
+    (concurrent DMAs) + a top-k — the quantization analog of the
+    storage/compute split's exactness recovery."""
+    from hnsw_tpu.ops.pallas_gather import gather_dist_pallas
+    from hnsw_tpu.ops.topk import topk_smallest
+
+    idm = ids[:, :m]
+    safe = jnp.clip(idm, 0, x.shape[0] - 1)
+    d_ex = gather_dist_pallas(q, x, safe, space=space, interpret=interpret)
+    d_ex = jnp.where(jnp.isfinite(dists[:, :m]), d_ex, jnp.inf)
+    dk, pos = topk_smallest(d_ex, k)
+    idk = jnp.take_along_axis(idm, pos, axis=-1)
+    return dk, idk
 
 
 def inline_search_kwargs(nbr_vec) -> dict:
@@ -181,6 +194,10 @@ class SearchParams:
     # this multiple of its k-th best distance (the reference's
     # lower_bound-vs-candidate cut, hnswalg.h:342-436, relaxed by a factor).
     stop_frontier: float = 0.0
+    # Exact re-rank of the top-`rescore` candidates against the full-precision
+    # vectors after an int8-served search (buys back the ~0.5% int8 recall
+    # loss at a few % qps). None = auto: 4*k on the unified8 tier, 0 off.
+    rescore: int | None = None
     # Custom pluggable stop condition (BaseSearchStopCondition analog,
     # hnswlib/hnswlib.h:134-150): StopView -> [B] bool, OR-ed with the
     # patience rule. Must be a hashable (module-level) callable.
@@ -592,6 +609,23 @@ class HNSWIndex:
             stop_frontier=params.stop_frontier,
             stop_fn=params.stop_fn,
         )
+        m_res = params.rescore
+        if m_res is None:
+            kind = nbr_vec[0] if nbr_vec else "off"
+            m_res = 4 * params.k if kind == "unified8" else 0
+        m_res = min(m_res, params.ef)
+        if m_res >= params.k and m_res > 0:
+            rd, ri = _rescore_topk(
+                q,
+                x,
+                res.ids,
+                res.dists,
+                k=params.k,
+                m=m_res,
+                space=self.space.name,
+                interpret=jax.default_backend() != "tpu",
+            )
+            res = SearchResults(rd, ri, res.hops, res.dist_comps)
         dists = np.asarray(res.dists)[:b0]
         ids = np.asarray(res.ids)[:b0]
         labels = np.where(ids < len(labels_np), labels_np[np.minimum(ids, len(labels_np) - 1)], -1)
