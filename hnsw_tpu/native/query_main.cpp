@@ -233,6 +233,10 @@ struct VecSource {
     if (*p) ++p;
     size_t wi = 0;
     std::lock_guard<std::mutex> g(mu);
+    // evict BEFORE inserting the batch: clearing mid-batch (old behavior)
+    // wiped vectors prefetched earlier in this same hop, silently skipping
+    // neighbors (a deterministic -0.5% recall at N=50k)
+    if (cache.size() + want.size() > cache_cap) cache.clear();
     while (*p && wi < want.size()) {
       while (*p && (isspace((unsigned char)*p) || *p == ',')) ++p;
       if (*p == ']') break;
@@ -255,7 +259,6 @@ struct VecSource {
         ++p;
       }
       if (int(v.size()) == dim) {
-        if (cache.size() >= cache_cap) cache.clear();  // simple bound
         cache.emplace(want[wi], std::move(v));
       }
       ++wi;

@@ -367,7 +367,8 @@ def build_sharded_arrays(
     jax.jit,
     static_argnames=(
         "k", "ef", "space", "expand", "max_iters", "mesh", "dp_axis",
-        "shard_axis", "has_mask", "has_entry",
+        "shard_axis", "has_mask", "has_entry", "stop_patience",
+        "stop_frontier",
     ),
 )
 def sharded_search(
@@ -386,6 +387,8 @@ def sharded_search(
     shard_axis: str = "shard",
     has_mask: bool = False,
     has_entry: bool = False,
+    stop_patience: int = 0,
+    stop_frontier: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Search all shards and merge → (dists [B, k], labels [B, k] int64).
 
@@ -460,6 +463,8 @@ def sharded_search(
             expand=expand,
             max_iters=max_iters,
             interpret=interpret,
+            stop_patience=stop_patience,
+            stop_frontier=stop_frontier,
         )
         # local ids -> global labels before leaving the shard
         lab = jnp.take(a1.labels, jnp.clip(res.ids, 0, a1.labels.shape[0] - 1))
@@ -1008,6 +1013,8 @@ class ShardedHNSWIndex:
         *,
         filter_labels: np.ndarray | None = None,
         entry_labels: np.ndarray | None = None,
+        stop_patience: int = 0,
+        stop_frontier: float = 0.0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched kNN over all shards (single-chip parity features:
         `filter_labels` is a bool mask over external labels, delete-marked
@@ -1068,5 +1075,7 @@ class ShardedHNSWIndex:
             shard_axis=self.shard_axis,
             has_mask=has_mask,
             has_entry=has_entry,
+            stop_patience=stop_patience,
+            stop_frontier=stop_frontier,
         )
         return np.asarray(d)[:b0], np.asarray(l)[:b0]
