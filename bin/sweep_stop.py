@@ -102,12 +102,15 @@ def main():
     results = [measure("baseline")]
     base_rec = results[0]["recall_at_10"]
     base_qps = results[0]["qps"]
-    for c in (1.2, 1.35, 1.5, 1.7):
+    for c in (1.1, 1.15, 1.2, 1.25, 1.35, 1.5):
         results.append(measure(f"frontier c={c}", stop_frontier=c))
-    for pat in (24, 48, 96):
+    for pat in (24, 32, 48, 96):
         results.append(measure(f"patience {pat}", stop_patience=pat))
     results.append(
-        measure("frontier 1.5 + patience 48", stop_frontier=1.5, stop_patience=48)
+        measure("frontier 1.2 + patience 48", stop_frontier=1.2, stop_patience=48)
+    )
+    results.append(
+        measure("frontier 1.2 + patience 32", stop_frontier=1.2, stop_patience=32)
     )
 
     best = max(

@@ -26,6 +26,14 @@ from hnsw_tpu.core.spaces import Space, get_space
 from hnsw_tpu.models.hnsw import HNSWIndex, SearchParams
 
 
+def _pow2(x: int) -> int:
+    """Round a beam size up to a power of two: every widening search then
+    hits one of O(log N) compiled programs instead of compiling a fresh
+    (k, ef) shape per doubling (a 200-400s worst-case cliff on this relay
+    if a serving path hits a new shape cold)."""
+    return 1 << (max(int(x), 1) - 1).bit_length()
+
+
 def epsilon_search(
     index: HNSWIndex,
     queries: np.ndarray,
@@ -49,23 +57,30 @@ def epsilon_search(
     """
     assert min_candidates <= max_candidates
     n = index.num_elements
-    beam = max(ef, min_candidates, min(max_candidates, 64))
-    beam = min(beam, max(max_candidates, min_candidates))
+    beam = _pow2(
+        min(
+            max(ef, min_candidates, min(max_candidates, 64)),
+            max(max_candidates, min_candidates),
+        )
+    )
     while True:
-        k_cur = min(beam, max_candidates)
+        # search at the full (power-of-two) beam width; the view below
+        # truncates to the semantic bound
         dists, labels = index.search(
             queries,
-            k=k_cur,
+            k=beam,
             ef=beam,
-            params=SearchParams(k=k_cur, ef=beam),
+            params=SearchParams(k=beam, ef=beam),
         )
+        k_cur = min(beam, max_candidates)
+        dists, labels = dists[:, :k_cur], labels[:, :k_cur]
         within = dists <= epsilon
         # saturated: every returned slot is a real within-epsilon point ->
         # the bound, not the data, decided the count; widen if allowed
         saturated = np.all(within & (labels >= 0), axis=1)
         if beam >= max_candidates or beam >= n or not saturated.any():
             break
-        beam = min(beam * 2, max(max_candidates, 1))
+        beam = _pow2(beam * 2)
     if dists.shape[1] < max_candidates:
         pad = max_candidates - dists.shape[1]
         dists = np.concatenate(
@@ -154,7 +169,10 @@ class MultiVectorIndex:
         own vectors cannot starve the result of other documents.
         """
         n_vec = self.index.num_elements
-        k_vec = min(max(k_docs * oversample, k_docs), max(n_vec, 1))
+        # power-of-two widening ladder: O(log N) compiled shapes total
+        k_vec = min(
+            _pow2(max(k_docs * oversample, k_docs)), max(n_vec, 1)
+        )
         while True:
             ef_cur = max(ef, k_vec)
             dists, labels = self.index.search(
@@ -165,4 +183,4 @@ class MultiVectorIndex:
             want = min(k_docs, self.num_docs)
             if k_vec >= n_vec or np.all(distinct >= want):
                 return out_d, out_doc
-            k_vec = min(k_vec * 2, n_vec)
+            k_vec = min(_pow2(k_vec * 2), n_vec)

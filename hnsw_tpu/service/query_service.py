@@ -142,27 +142,38 @@ class _MicroBatcher:
             raise RuntimeError(out["error"])
         return out["dists"], out["labels"]
 
+    @staticmethod
+    def _bucket(k: int, ef: int) -> tuple[int, int]:
+        """Quantize (k, ef) up to a power-of-two ladder: clients asking for
+        different ef coalesce into ONE device call (computed at the bucket
+        ef >= every request's ef — a quality floor, never a cut), and the
+        compiled-program count stays O(log^2) instead of one per distinct
+        request shape."""
+        kb = 1 << (max(k, 1) - 1).bit_length()
+        efb = 1 << (max(ef, kb, 1) - 1).bit_length()
+        return kb, efb
+
     def _run(self):
         while True:
             with self.lock:
                 while not self.pending:
                     self.kick.wait()
-                time_in = time.time()
-            # collect for the window
-            while time.time() - time_in < self.window:
-                with self.lock:
-                    if len(self.pending) >= self.max_batch:
+                # collect for the window on the condition variable (no
+                # spin-poll): each arrival notifies, the deadline bounds it
+                deadline = time.time() + self.window
+                while len(self.pending) < self.max_batch:
+                    left = deadline - time.time()
+                    if left <= 0:
                         break
-                time.sleep(0.0005)
-            with self.lock:
+                    self.kick.wait(timeout=left)
                 batch = self.pending[: self.max_batch]
                 self.pending = self.pending[self.max_batch :]
             if not batch:
                 continue
-            # group by (k, ef) to keep shapes static per call
+            # group by the (k, ef) BUCKET to keep shapes static per call
             groups: dict = {}
             for item in batch:
-                groups.setdefault((item[1], item[2]), []).append(item)
+                groups.setdefault(self._bucket(item[1], item[2]), []).append(item)
             for (k, ef), items in groups.items():
                 q = np.stack([it[0] for it in items])
                 ents = [it[3] for it in items]
@@ -179,8 +190,9 @@ class _MicroBatcher:
                 try:
                     d, l = self.engine.search(q, k, ef, ent)
                     for i, it in enumerate(items):
-                        it[5]["dists"] = d[i]
-                        it[5]["labels"] = l[i]
+                        # slice back to the request's own k (bucket k >= it)
+                        it[5]["dists"] = d[i][: it[1]]
+                        it[5]["labels"] = l[i][: it[1]]
                 except Exception as exc:  # surface errors to all waiters
                     for it in items:
                         it[5]["error"] = str(exc)
