@@ -1,0 +1,157 @@
+"""2M-per-chip capacity-tier validation (VERDICT r2 item 5): int8 unified
+serving AND building (waves run on the unified8 table instead of the
+~9s/wave XLA-gather fallback), with an exact-rescore pass buying back the
+quantization recall. Writes res/sweep_2m.json.
+
+Targets: build well under 1000s (round 2: 1675s), recall@10 >= 0.97 at
+ef=200 with <10% qps cost from the rescore.
+
+Usage: python bin/sweep2m.py [N] [out.json]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax.numpy as jnp
+
+    from hnsw_tpu.core.spaces import L2Space
+    from hnsw_tpu.models.bruteforce import BruteforceIndex
+    from hnsw_tpu.models.bulk_build import bulk_build
+    from hnsw_tpu.models.hnsw import _rescore_topk, inline_search_kwargs
+    from hnsw_tpu.ops.traversal import search_batch
+    from hnsw_tpu.utils.retry import device_retry
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "res/sweep_2m.json"
+    dim, m, ef_c, k, ef = 128, 16, 200, 10, 200
+    nq = 2048
+
+    rng = np.random.default_rng(7)
+    print(f"dataset: N={n} d={dim} (clustered gaussian)", flush=True)
+    centers = rng.normal(size=(4096, dim)).astype(np.float32)
+    x = centers[rng.integers(0, 4096, n)] + 0.5 * rng.normal(
+        size=(n, dim)
+    ).astype(np.float32)
+
+    ckpt = os.environ.get("SWEEP2M_CKPT", f"/tmp/bulk2m_ckpt")
+    t0 = time.time()
+    idx = bulk_build(
+        x, space="l2", m=m, ef_construction=ef_c, verbose=True,
+        checkpoint=ckpt,
+    )
+    build_s = time.time() - t0
+    print(f"build: {build_s:.0f}s", flush=True)
+    if build_s < 120 and os.path.exists(out_path):
+        try:
+            prev = json.load(open(out_path))["config"].get("build_s")
+            if prev and prev > build_s:
+                build_s = prev
+                print(f"  (reporting prior full-build time {build_s:.0f}s)",
+                      flush=True)
+        except Exception:
+            pass
+
+    q = x[rng.integers(0, n, nq)] + 0.05 * rng.normal(size=(nq, dim)).astype(
+        np.float32
+    )
+    oracle = BruteforceIndex(L2Space(dim))
+    oracle.add_items(x, np.arange(n))
+    t0 = time.time()
+    _, gt = oracle.search_knn(q, k)
+    print(f"oracle GT: {time.time()-t0:.0f}s", flush=True)
+    del oracle
+
+    idx.growth_headroom = 0.0
+    t0 = time.time()
+    dg, vectors, sq, _, labels_np, nbr_vec = idx.rebuild_device_tables()
+    kind = None if nbr_vec is None else nbr_vec[0]
+    print(f"device sync ({kind} tables): {time.time()-t0:.0f}s", flush=True)
+
+    qd = jnp.asarray(q)
+
+    def measure(label, rescore_m=0, **stop_kwargs):
+        def run():
+            r = search_batch(
+                vectors, dg, qd, k=max(k, rescore_m), ef=ef, space="l2",
+                sq_norms=sq, **inline_search_kwargs(nbr_vec), expand=2,
+                **stop_kwargs,
+            )
+            if rescore_m:
+                rd, ri = _rescore_topk(
+                    qd, vectors, r.ids, r.dists, k=k, m=rescore_m,
+                    space="l2", interpret=False,
+                )
+                return rd, ri
+            return r.dists, r.ids
+
+        def warm():
+            d, i = run()
+            d.block_until_ready()
+            return d, i
+
+        d, ids = device_retry(warm, attempts=5, base_sleep=15, log=print)
+        t0 = time.time()
+        iters = 4
+        for _ in range(iters):
+            d, ids = run()
+        d.block_until_ready()
+        dt = (time.time() - t0) / iters
+        got = labels_np[np.minimum(np.asarray(ids)[:, :k], len(labels_np) - 1)]
+        got = np.where(np.isfinite(np.asarray(d)[:, :k]), got, -1)
+        rec = float(
+            np.mean([len(set(got[i]) & set(gt[i])) / k for i in range(nq)])
+        )
+        qps = nq / dt
+        print(f"{label:<26} recall@{k}={rec:.4f}  {qps:>9.0f} qps", flush=True)
+        return {"mode": label, "recall_at_10": round(rec, 4),
+                "qps": round(qps, 1), "rescore_m": rescore_m, **stop_kwargs}
+
+    results = [
+        measure("int8 raw"),
+        measure("int8 + rescore 40", rescore_m=40),
+        measure("int8 + rescore 100", rescore_m=100),
+        measure("int8 + rescore40 + f1.15", rescore_m=40, stop_frontier=1.15),
+    ]
+    base = results[0]
+    rs = results[1]
+
+    # single-core CPU baseline on the same graph
+    t0 = time.time()
+    idx.search_cpu(q[:256], k=k, ef=ef)
+    cpu_qps = 256 / (time.time() - t0)
+    print(f"CPU single-core @ef=200: {cpu_qps:.0f} qps", flush=True)
+
+    out = {
+        "config": {
+            "N": n, "dim": dim, "M": m, "ef_construction": ef_c, "k": k,
+            "ef": ef, "batch": nq, "expand": 2,
+            "dataset": "clustered-gaussian-4096c",
+            "hardware": "TPU v5e (1 chip)", "inline_tables": kind,
+            "build_s": round(build_s, 1),
+            "cpu_single_core_qps_ef200": round(cpu_qps, 1),
+        },
+        "modes": results,
+        "gate": {
+            "build_under_1000s": build_s < 1000,
+            "rescore_recall_ge_0.97": rs["recall_at_10"] >= 0.97,
+            "rescore_qps_cost_pct": round(
+                100 * (1 - rs["qps"] / base["qps"]), 1
+            ),
+        },
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["gate"]), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -517,8 +517,11 @@ def bulk_build(
         idx.unified_max_bytes = min(serve_unified_budget, UNIFIED_WAVE_MAX_BYTES)
     else:
         # bf16 unified is always bigger than split, so the serve budget here
-        # resolves to unified8 (or the gather fallback if even that is big)
+        # resolves to unified8 (or the gather fallback if even that is big).
+        # Waves then run at the HBM edge (~11GB live at 2M): skip the upper
+        # inline tables (~1.2GB) — build searches take the gather descent.
         idx.unified_max_bytes = serve_unified_budget
+        idx.upper_inline = False
     last_save = time.time()
     while pos < len(lo):
         cnt = min(wave, len(lo) - pos)
@@ -535,6 +538,7 @@ def bulk_build(
     # links that mature organic nodes toward maxM0 — their degree halves.
     idx.growth_headroom = 1 / 16  # restore post-build insert headroom
     idx.unified_max_bytes = serve_unified_budget
+    idx.upper_inline = True
     idx._dirty = True
     if checkpoint:
         save_state(len(lo), wave)

@@ -168,11 +168,11 @@ def inline_search_kwargs(nbr_vec) -> dict:
     if nbr_vec is None:
         return {}
     if nbr_vec[0] == "unified":
-        return {"unified_table": nbr_vec[1], "upper_tables": nbr_vec[2]}
+        return {"unified_table": nbr_vec[1], "upper_tables": nbr_vec[2] or None}
     if nbr_vec[0] == "unified8":
         return {
             "unified_table": nbr_vec[1],
-            "upper_tables": nbr_vec[2],
+            "upper_tables": nbr_vec[2] or None,
             "unified_int8": True,
         }
     return {"nbr_vectors": nbr_vec[1], "level0_tiles": nbr_vec[2]}
@@ -244,6 +244,9 @@ class HNSWIndex:
         # Unified rows cost ~1.5x the split inline table; above this budget
         # fall back to the split design (or gathers when maxM0 > 32).
         self.unified_max_bytes = UNIFIED_MAX_BYTES
+        # False drops the per-level unified descent tables (~1.2GB at 2M):
+        # bulk-build waves at the HBM edge use the gather descent instead.
+        self.upper_inline = True
         from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
 
         self._builder = NativeHNSWBuilder(
@@ -352,7 +355,8 @@ class HNSWIndex:
             from hnsw_tpu.ops.pallas_gather import build_inline_tables
 
             nbr_vec = build_inline_tables(
-                x, dg, self.dim, self.unified_max_bytes, SPLIT_MAX_BYTES
+                x, dg, self.dim, self.unified_max_bytes, SPLIT_MAX_BYTES,
+                upper_inline=self.upper_inline,
             )
         deleted = np.zeros(n_pad, dtype=bool)
         deleted[:n] = self._builder.export_deleted().astype(bool)
@@ -411,14 +415,6 @@ class HNSWIndex:
             # the delta's inline-row refresh (k*m0 row gathers) would cost
             # more than rebuilding the whole table — full resync is cheaper
             return False
-        kb = _bucket(k)
-        if kb != k:
-            dirty_ids = np.concatenate(
-                [dirty_ids, np.full(kb - k, sent, np.int32)]
-            )
-            rows = np.concatenate(
-                [rows, np.full((kb - k, m0_pad), sent, np.int32)]
-            )
         new_vecs = np.zeros((nb, self.dim), np.float32)
         new_ids = np.full(nb, sent, np.int32)
         if n_new:
@@ -443,22 +439,43 @@ class HNSWIndex:
             nv, l0t = nbr_vec[1], nbr_vec[2]
         else:
             nv, l0t = jnp.zeros((1, 1, 1), jnp.bfloat16), dummy_t
-        x, sq2, level0, nv, l0t, cds, scl = _apply_row_deltas(
-            x,
-            sq if sq is not None else jnp.zeros((1,), jnp.float32),
-            dg.level0,
-            nv,
-            l0t,
-            cds,
-            scl,
-            jnp.asarray(new_vecs),
-            jnp.asarray(new_ids),
-            jnp.asarray(dirty_ids),
-            jnp.asarray(rows),
-            inline_kind=kind,
-            has_sq=sq is not None,
-        )
-        sq = sq2 if sq is not None else None
+        # Apply in bounded slices: a bulk-build wave can dirty 100k+ rows,
+        # and one shot's pack/gather transients (~4KB x K for unified rows)
+        # spike past the HBM edge when a 10GB+ table is live. Each slice is
+        # a sentinel-padded power-of-two bucket; new vectors ride only the
+        # first call.
+        DELTA_CHUNK = 1 << 15
+        level0 = dg.level0
+        sq_in = sq if sq is not None else jnp.zeros((1,), jnp.float32)
+        slices = list(range(0, k, DELTA_CHUNK)) or [0]
+        for si, s0 in enumerate(slices):
+            ids_c = dirty_ids[s0 : s0 + DELTA_CHUNK]
+            rows_c = rows[s0 : s0 + DELTA_CHUNK]
+            kc = ids_c.shape[0]
+            kb = _bucket(kc)
+            if kb != kc:
+                ids_c = np.concatenate([ids_c, np.full(kb - kc, sent, np.int32)])
+                rows_c = np.concatenate(
+                    [rows_c, np.full((kb - kc, m0_pad), sent, np.int32)]
+                )
+            nv_c = new_vecs if si == 0 else np.zeros((0, self.dim), np.float32)
+            ni_c = new_ids if si == 0 else np.zeros((0,), np.int32)
+            x, sq_in, level0, nv, l0t, cds, scl = _apply_row_deltas(
+                x,
+                sq_in,
+                level0,
+                nv,
+                l0t,
+                cds,
+                scl,
+                jnp.asarray(nv_c),
+                jnp.asarray(ni_c),
+                jnp.asarray(ids_c),
+                jnp.asarray(rows_c),
+                inline_kind=kind,
+                has_sq=sq is not None,
+            )
+        sq = sq_in if sq is not None else None
         if kind == "unified":
             # keep the (unchanged) upper-level tables — dropping them made
             # the tag a 2-tuple and broke inline_search_kwargs downstream
@@ -503,6 +520,7 @@ class HNSWIndex:
             kind in ("unified", "unified8")
             and (flags & 1)
             and dg.max_level > 0
+            and self.upper_inline
         ):
             # upper tables reference upper adjacency + vectors: rebuild
             # (small, ~N/M rows) after both were updated
@@ -695,6 +713,7 @@ class HNSWIndex:
             jax.default_backend() == "tpu" and 2 * self.m <= 128
         )
         self.unified_max_bytes = UNIFIED_MAX_BYTES
+        self.upper_inline = True
         self._builder = NativeHNSWBuilder.from_graph(
             g, vectors, deleted, space=self.space.name,
             ef_construction=meta["ef_construction"],

@@ -617,7 +617,9 @@ def hop_dist_unified(
     )(chosen_packed, q, table)
 
 
-def build_inline_tables(x, dg, dim, unified_max_bytes, split_max_bytes):
+def build_inline_tables(
+    x, dg, dim, unified_max_bytes, split_max_bytes, upper_inline=True
+):
     """Choose and build the inline fast-path tables for a device graph —
     the ONE place the tier ladder lives (HNSWIndex._full_sync and the query
     service both use it):
@@ -634,9 +636,12 @@ def build_inline_tables(x, dg, dim, unified_max_bytes, split_max_bytes):
     d_pad = -(-dim // 128) * 128
 
     def upper_tabs():
+        # upper_inline=False skips the per-level unified descent tables
+        # (~1.2GB at 2M) — bulk-build waves run at the HBM edge and fall
+        # back to the gather descent, serving rebuilds them
         return (
             _jax.jit(make_upper_tables)(x, dg.upper, dg.upper_slot)
-            if dg.max_level > 0
+            if upper_inline and dg.max_level > 0
             else ()
         )
 
@@ -742,6 +747,25 @@ def gather_dist_pallas(
     b, d = q.shape
     k = ids.shape[1]
     assert b % tb == 0, f"batch {b} must be divisible by tile {tb}"
+    # The ids prefetch lives in scoped SMEM (1MB) and lane-pads each row to
+    # a multiple of 128 i32: B=2048, K=40 is exactly 1.00M and overflows
+    # once spill slots land. Slice the batch to keep the operand <=512KB.
+    k_lanes = -(-k // 128) * 128
+    max_b = max(tb, (1 << 19) // (4 * k_lanes) // tb * tb)
+    if b > max_b:
+        return jnp.concatenate(
+            [
+                gather_dist_pallas(
+                    q[s : s + max_b],
+                    table,
+                    ids[s : s + max_b],
+                    space=space,
+                    tb=tb,
+                    interpret=interpret,
+                )
+                for s in range(0, b, max_b)
+            ]
+        )
     grid = (b // tb,)
     kernel = functools.partial(_gather_dist_kernel, tb=tb, k=k, ip=space == "ip")
     return pl.pallas_call(
