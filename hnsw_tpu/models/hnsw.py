@@ -41,6 +41,10 @@ UNIFIED_WAVE_MAX_BYTES = 0
 # The split bf16 table is the wave workhorse; above this it cannot fit HBM
 # (N=2M: 15.3GB) and the sync falls through to the XLA-gather path.
 SPLIT_MAX_BYTES = 13 * 2**30
+# Row-delta applications run in slices of this many dirty rows: a bulk-build
+# wave can dirty 100k+ rows, and one shot's pack/gather transients spike
+# past the HBM edge when a 10GB+ unified table is live.
+DELTA_CHUNK = 1 << 15
 
 
 def _bucket(k: int) -> int:
@@ -444,13 +448,13 @@ class HNSWIndex:
         # spike past the HBM edge when a 10GB+ table is live. Each slice is
         # a sentinel-padded power-of-two bucket; new vectors ride only the
         # first call.
-        DELTA_CHUNK = 1 << 15
         level0 = dg.level0
         sq_in = sq if sq is not None else jnp.zeros((1,), jnp.float32)
-        slices = list(range(0, k, DELTA_CHUNK)) or [0]
+        chunk = DELTA_CHUNK
+        slices = list(range(0, k, chunk)) or [0]
         for si, s0 in enumerate(slices):
-            ids_c = dirty_ids[s0 : s0 + DELTA_CHUNK]
-            rows_c = rows[s0 : s0 + DELTA_CHUNK]
+            ids_c = dirty_ids[s0 : s0 + chunk]
+            rows_c = rows[s0 : s0 + chunk]
             kc = ids_c.shape[0]
             kb = _bucket(kc)
             if kb != kc:

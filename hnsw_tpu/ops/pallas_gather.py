@@ -40,9 +40,12 @@ def _normalize_tb(tb: int, b: int) -> int:
 def _gather_dist_kernel(ids_ref, q_ref, table_ref, out_ref, rows, sems, *, tb, k, ip):
     base = pl.program_id(0) * tb
     # Issue one DMA per (query, neighbor) row — all concurrent — then wait.
+    # ONE shared semaphore for all tb*k copies (DMA sems count bytes, so
+    # per-copy waits pair up): a per-copy sems array overflows the 2KB
+    # sflag space at tb*k > 512 (hit at the rescore m=100 operating point).
     def _dma(t, j):
         return pltpu.make_async_copy(
-            table_ref.at[ids_ref[base + t, j]], rows.at[t * k + j], sems.at[t * k + j]
+            table_ref.at[ids_ref[base + t, j]], rows.at[t * k + j], sems
         )
 
     for t in range(tb):
@@ -481,6 +484,12 @@ def _hop_dist_unified_kernel(
     em = e * m0
     s_data = sv + 1
 
+    # NOTE a sentinel-skip variant (conditionally skip the DMA for done
+    # queries' sentinel rows + matching per-copy waits) was built and
+    # measured 16% SLOWER end-to-end at the headline operating point: the
+    # per-copy scalar branches break Mosaic's pipelined descriptor issue,
+    # costing more than the skipped descriptors save. Unconditional issue
+    # + one whole-buffer byte-count wait is the fast shape.
     def issue(s, buf):
         base = s * tb * e
         for t in range(tb):
@@ -782,7 +791,7 @@ def gather_dist_pallas(
             ),
             scratch_shapes=[
                 pltpu.VMEM((tb * k, d), table.dtype),
-                pltpu.SemaphoreType.DMA((tb * k,)),
+                pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, k), jnp.float32),

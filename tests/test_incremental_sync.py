@@ -223,6 +223,51 @@ def test_update_applies_as_row_delta():
     assert (lu[:, 0] == upd_labels[:16]).mean() >= 0.9
 
 
+@pytest.mark.parametrize("kind", ["unified", "split"])
+def test_delta_applies_in_bounded_slices(rng, monkeypatch, kind):
+    """Large deltas apply in DELTA_CHUNK-row slices (bulk-build waves dirty
+    100k+ rows; a one-shot apply's gather transients spike past the HBM edge
+    at 2M). With the chunk forced tiny, the sliced path must still produce
+    device state identical to a from-scratch rebuild."""
+    import hnsw_tpu.models.hnsw as hnsw_mod
+
+    monkeypatch.setattr(hnsw_mod, "DELTA_CHUNK", 64)
+    x = _data(2000)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=80,
+                    inline_neighbors=True)
+    if kind == "split":
+        idx.unified_max_bytes = 0
+    idx.add_items(x)
+    q = _data(32, seed=2)
+    idx.search(q, k=5, ef=60)
+    assert idx._device[5][0] == kind
+
+    # 100 inserts (within growth headroom) dirty well over 64 rows ->
+    # several slices
+    idx.add_items(_data(100, seed=1), np.arange(2000, 2100))
+    d1, l1 = idx.search(q, k=5, ef=60)
+    assert idx._last_sync_mode == "delta"
+
+    n = idx.num_elements
+    x_delta = np.asarray(idx._device[1])[:n]
+    lvl_delta = np.asarray(idx._device[0].level0)[:n]
+    lvl_delta = np.where(lvl_delta >= n, -1, lvl_delta)
+    nbr_delta = np.asarray(idx._device[5][1])
+    idx._device = None
+    idx._dirty = True
+    d2, l2 = idx.search(q, k=5, ef=60)
+    assert idx._last_sync_mode == "full"
+    np.testing.assert_allclose(x_delta, np.asarray(idx._device[1])[:n], rtol=0)
+    lvl_full = np.asarray(idx._device[0].level0)[:n]
+    lvl_full = np.where(lvl_full >= n, -1, lvl_full)
+    np.testing.assert_array_equal(lvl_delta, lvl_full)
+    nbr_full = np.asarray(idx._device[5][1])
+    if nbr_delta.shape == nbr_full.shape:
+        np.testing.assert_array_equal(nbr_delta, nbr_full)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
+    np.testing.assert_array_equal(l1, l2)
+
+
 def test_replace_deleted_label_swap_syncs_as_delta():
     """insert_replace reuses a deleted slot and swaps its label — the delta
     path must propagate the new label to the device label table."""
