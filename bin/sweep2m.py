@@ -45,19 +45,18 @@ def main():
     t0 = time.time()
     idx = bulk_build(
         x, space="l2", m=m, ef_construction=ef_c, verbose=True,
-        checkpoint=ckpt,
+        checkpoint=ckpt, checkpoint_every_s=600.0,
+        wave_size=int(os.environ.get("SWEEP2M_WAVE", 16384)),
     )
     build_s = time.time() - t0
     print(f"build: {build_s:.0f}s", flush=True)
-    if build_s < 120 and os.path.exists(out_path):
-        try:
-            prev = json.load(open(out_path))["config"].get("build_s")
-            if prev and prev > build_s:
-                build_s = prev
-                print(f"  (reporting prior full-build time {build_s:.0f}s)",
-                      flush=True)
-        except Exception:
-            pass
+    # A resumed run's build_s is not a full-build time; the driver passes
+    # the honest single-attempt number from the fresh run it resumed.
+    override = os.environ.get("SWEEP2M_BUILD_S")
+    if override and build_s < 120:
+        build_s = float(override)
+        print(f"  (reporting fresh full-build time {build_s:.0f}s)",
+              flush=True)
 
     q = x[rng.integers(0, n, nq)] + 0.05 * rng.normal(size=(nq, dim)).astype(
         np.float32

@@ -253,6 +253,7 @@ def bulk_build(
     checkpoint: str | None = None,
     checkpoint_every_s: float = 180.0,
     upper_recurse_min: int = 20_000,
+    wave_size: int | None = None,
     _levels: np.ndarray | None = None,
 ):
     """Build an HNSWIndex with device-accelerated construction.
@@ -412,7 +413,8 @@ def bulk_build(
     # everything, each later wave applies only the connect_batch row deltas
     # (dirty-node tracking in the native engine).
     interpret = jax.default_backend() != "tpu"
-    wave_size = max(first_wave * 4, 1024)
+    if wave_size is None:
+        wave_size = max(first_wave * 4, 1024)
     k_sel = min(select_c, ef_construction)
     vectors_host = None  # lazy host copy for the select fallback
 
