@@ -47,6 +47,7 @@ def main():
         x, space="l2", m=m, ef_construction=ef_c, verbose=True,
         checkpoint=ckpt, checkpoint_every_s=600.0,
         wave_size=int(os.environ.get("SWEEP2M_WAVE", 16384)),
+        wave_stop_frontier=float(os.environ.get("SWEEP2M_STOPF", 1.15)),
     )
     build_s = time.time() - t0
     print(f"build: {build_s:.0f}s", flush=True)

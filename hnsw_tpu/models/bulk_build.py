@@ -132,6 +132,7 @@ def select_neighbors_host(
 def _recursive_upper_phase(
     idx, data, labels, levels, hi, space, m, ef_construction, seed,
     first_wave, select_c, verbose, upper_recurse_min,
+    wave_stop_frontier=0.0,
 ):
     """Build the level>=1 hierarchy by recursing bulk_build on the subset
     (levels shifted down by one), then graft the sub-graph into `idx`'s
@@ -157,6 +158,7 @@ def _recursive_upper_phase(
         ef_construction=ef_construction, seed=seed + 1,
         first_wave=first_wave, select_c=select_c, verbose=verbose,
         upper_recurse_min=upper_recurse_min, _levels=levels[hi] - 1,
+        wave_stop_frontier=wave_stop_frontier,
     )
     g_sub = sub._builder.export_graph()
     xh = np.ascontiguousarray(data[hi], dtype=np.float32)
@@ -254,6 +256,7 @@ def bulk_build(
     checkpoint_every_s: float = 180.0,
     upper_recurse_min: int = 20_000,
     wave_size: int | None = None,
+    wave_stop_frontier: float = 0.0,
     _levels: np.ndarray | None = None,
 ):
     """Build an HNSWIndex with device-accelerated construction.
@@ -358,6 +361,7 @@ def bulk_build(
             b = _recursive_upper_phase(
                 idx, data, labels, levels, hi, space, m, ef_construction,
                 seed, first_wave, select_c, verbose, upper_recurse_min,
+                wave_stop_frontier=wave_stop_frontier,
             )
         else:
             # host-insert the hierarchy seed (small: ~N/M of the data)
@@ -431,7 +435,19 @@ def bulk_build(
         t_sync = time.time() - t0
         t0 = time.time()
         q_np = data[rows]
+        # Pad tail waves up to the doubling-ladder shapes the full waves
+        # already compiled (first_wave*2^i, capped at wave_size): an odd
+        # tail like 6545 would otherwise trigger a fresh XLA compile of the
+        # whole search program — 18-97s on this relay for a wave that runs
+        # in ~2s. Dummy zero queries ride along and are sliced off before
+        # connect_batch.
         b_pad = ((cnt + 15) // 16) * 16
+        ladder = first_wave
+        while ladder < b_pad and ladder < wave_size:
+            ladder *= 2
+        if b_pad > ladder:  # cnt exceeds the ladder cap (custom wave_size)
+            ladder = b_pad
+        b_pad = min(ladder, max(((wave_size + 15) // 16) * 16, b_pad))
         if b_pad != cnt:
             q_np = np.concatenate(
                 [q_np, np.zeros((b_pad - cnt, data.shape[1]), np.float32)]
@@ -448,12 +464,15 @@ def bulk_build(
                 sq_norms=sq,
                 **inline_search_kwargs(nbr_vec),
                 expand=2,
+                stop_frontier=wave_stop_frontier,
                 interpret=interpret,
             )
-            # materialize so a failure surfaces inside this retry scope
+            # materialize so a failure surfaces inside this retry scope.
+            # Keep the padded batch shape: select compiles per [W, C] too,
+            # so dummy rows flow through it and are sliced before linking.
             return (
-                np.asarray(jax.device_get(res.ids[:cnt])),
-                np.asarray(jax.device_get(res.dists[:cnt])),
+                np.asarray(jax.device_get(res.ids)),
+                np.asarray(jax.device_get(res.dists)),
             )
 
         # the relay transiently fails steps (spurious RESOURCE_EXHAUSTED /
@@ -490,7 +509,7 @@ def bulk_build(
             )
         t_dev = time.time() - t0
         t0 = time.time()
-        b.connect_batch(ids, sel_np)
+        b.connect_batch(ids, sel_np[:cnt])
         if verbose:
             print(
                 f"  wave {cnt}: sync {t_sync:.1f}s device {t_dev:.1f}s "
