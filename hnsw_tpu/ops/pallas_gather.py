@@ -180,8 +180,8 @@ def hop_dist_inline(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((tb, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
                 pl.BlockSpec(
@@ -600,7 +600,7 @@ def hop_dist_unified(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((tb, d_pad), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
                 pl.BlockSpec(
@@ -784,7 +784,7 @@ def gather_dist_pallas(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((tb, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
             ],
             out_specs=pl.BlockSpec(
                 (tb, k), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
