@@ -28,7 +28,7 @@ def main():
 
     from hnsw_tpu.core.spaces import L2Space
     from hnsw_tpu.models.bruteforce import BruteforceIndex
-    from hnsw_tpu.models.hnsw import HNSWIndex
+    from hnsw_tpu.models.hnsw import HNSWIndex, SearchParams
     from hnsw_tpu.parallel.sharding import ShardedHNSWIndex
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
@@ -67,7 +67,8 @@ def main():
     single = HNSWIndex("l2", dim=dim, m=m, ef_construction=ef_c)
     single.add_items(x)
     print(f"single-chip build: {time.time()-t0:.0f}s", flush=True)
-    sq_single, _, _l = qps(lambda: single.search(q, k=k, ef=ef, expand=2))
+    sp = SearchParams(k=k, ef=ef, expand=2)
+    sq_single, _, _l = qps(lambda: single.search(q, params=sp))
     rec_single = recall(_l)
     print(f"single-chip API: {sq_single:.0f} qps recall={rec_single:.4f}",
           flush=True)

@@ -578,6 +578,10 @@ class HNSWIndex:
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched kNN → (dists [B, k], labels [B, k]; label -1 = missing).
 
+        Rows are ascending by distance — searchKnnCloserFirst semantics
+        (hnswlib/hnswlib.h:197-201, which reverses searchKnn's max-heap
+        order) are the native output order here, no reversal needed.
+
         `filter_labels`: bool mask over external labels (BaseFilterFunctor
         semantics, hnswlib/hnswlib.h:128-132). Deleted elements are always
         excluded from results (markDelete semantics, hnswalg.h:853-900).

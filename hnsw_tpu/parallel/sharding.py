@@ -826,25 +826,34 @@ class ShardedHNSWIndex:
             rep.update(level0_tiles=l0_tiles)
 
         if any_upper:
-            # upper arrays are small (~N/M rows): re-derive wholesale, but
-            # only within the existing stacked padding — growth re-stacks
+            # upper arrays are small (~N/M rows): re-derive wholesale. When
+            # inserts outgrow the stacked padding, GROW it (with headroom so
+            # the next wave stays a delta) instead of re-stacking everything
+            # — growth only recompiles the search jit; vectors and the big
+            # serving tables are untouched (single-chip parity:
+            # HNSWIndex._try_incremental_sync re-derives upper shapes
+            # freely, models/hnsw.py flags&1 branch).
             from hnsw_tpu.core.graph import upper_host_arrays
 
-            max_l = a.upper.shape[1]
+            exports = []
+            ml_need, u_need, mm_need = 0, 0, 0
+            for b in self._builders:
+                g = b.export_graph()
+                up_i, us_i = upper_host_arrays(g, n_pad)
+                exports.append((up_i, us_i, g.entry_point))
+                if up_i.shape[0]:
+                    ml_need = max(ml_need, up_i.shape[0])
+                    u_need = max(u_need, up_i.shape[1])
+                    mm_need = max(mm_need, up_i.shape[2])
+            max_l = max(a.upper.shape[1], ml_need)
             u_pad = a.upper.shape[2]
-            max_m = a.upper.shape[3]
+            if u_need > u_pad:
+                u_pad = round_up(u_need + max(8, u_need // 16), 8)
+            max_m = max(a.upper.shape[3], mm_need)
             upper = np.full((s, max_l, u_pad, max_m), sent, dtype=np.int32)
             upper_slot = np.full((s, max_l, n_pad), u_pad - 1, dtype=np.int32)
             entry = np.zeros(s, dtype=np.int32)
-            for i, b in enumerate(self._builders):
-                g = b.export_graph()
-                up_i, us_i = upper_host_arrays(g, n_pad)
-                if (
-                    up_i.shape[0] > max_l
-                    or up_i.shape[1] > u_pad
-                    or (up_i.shape[0] and up_i.shape[2] > max_m)
-                ):
-                    return False
+            for i, (up_i, us_i, ep_i) in enumerate(exports):
                 if up_i.shape[0]:
                     upper[i, : up_i.shape[0], : up_i.shape[1], : up_i.shape[2]] = (
                         up_i
@@ -854,7 +863,7 @@ class ShardedHNSWIndex:
                     upper_slot[i, : us_i.shape[0]] = np.where(
                         us_i == up_i.shape[1] - 1, u_pad - 1, us_i
                     )
-                entry[i] = g.entry_point
+                entry[i] = ep_i
             spec = lambda *rest: NamedSharding(
                 self.mesh, P(self.shard_axis, *rest)
             )

@@ -109,6 +109,41 @@ def test_incremental_delta_per_tier(data, budget, expect):
     np.testing.assert_array_equal(l_delta, l_full)
 
 
+def test_upper_growth_stays_delta(data):
+    """Inserts that outgrow the stacked upper padding must still sync as a
+    row delta: the small upper arrays grow (with headroom), the big vector /
+    serving tables are untouched. Round-2 behavior was a full re-stack."""
+    x, q, gt = data
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    idx = _build(x, 1 << 40, mesh)
+    idx.search(q, k=10, ef=100)
+    u_pad_before = idx._arrays.upper.shape[2]
+
+    rng = np.random.default_rng(11)
+    # 4 waves of 256 (each under the oversized-delta cap, syncing between
+    # waves): cumulative ~16 new upper nodes/shard at m=8 must outgrow the
+    # stacked u_pad while every wave still syncs as a delta.
+    base = N
+    for _ in range(4):
+        extra = rng.normal(size=(256, DIM)).astype(np.float32)
+        idx.add_items(extra, np.arange(base, base + 256))
+        d, labels = idx.search(extra[:64], k=1, ef=150)
+        assert idx.last_sync_mode == "delta", idx.last_sync_mode
+        hit = (labels[:, 0] == np.arange(base, base + 64)).mean()
+        assert hit >= 0.9, hit
+        base += 256
+    assert idx._arrays.upper.shape[2] > u_pad_before, (
+        idx._arrays.upper.shape, u_pad_before,
+    )
+
+    # delta state must match a from-scratch rebuild at the same tier
+    d_delta, l_delta = idx.search(q, k=10, ef=150)
+    _force_tier(idx, mesh, 1 << 40)
+    d_full, l_full = idx.search(q, k=10, ef=150)
+    np.testing.assert_allclose(d_delta, d_full, rtol=1e-5)
+    np.testing.assert_array_equal(l_delta, l_full)
+
+
 def test_delete_after_delta(data):
     x, q, gt = data
     mesh = Mesh(np.array(jax.devices()), ("shard",))
