@@ -100,9 +100,10 @@ def main():
     idx.add_items(x)
     build_s = time.time() - t0
     log(f"build N={N}: {build_s:.1f}s ({N/build_s:.0f} inserts/s)")
-    # NOTE: bulk_build constructs the same-recall graph in ~65s here, but
-    # its graph queries ~12% slower at the same recall (longer max-hop tail
-    # from wave staleness) — the host-built graph serves the headline.
+    # NOTE: bulk_build constructs the same-recall graph in ~50s here, but
+    # its graph queries ~15% slower at the same recall (longer max-hop tail
+    # from wave staleness; remeasured round 3: 85.5k vs 100.9k qps at
+    # frontier 1.15) — the host-built graph serves the headline.
 
     # queries: perturbed samples; ground truth from the exact oracle
     q = x[rng.integers(0, N, BATCH)] + 0.05 * rng.normal(size=(BATCH, DIM)).astype(
@@ -120,9 +121,10 @@ def main():
     # Headline runs the adaptive-termination speed mode (stop_frontier: stop
     # a query once its best unexpanded beam entry is farther than c x its
     # k-th best distance — the lower_bound-vs-candidate cut). Measured on
-    # v5e at this operating point: +56% qps at IDENTICAL recall vs running
-    # the beam to exhaustion; the exhaustive mode is reported in detail.
-    STOP_FRONTIER = 1.35
+    # v5e at this operating point (round-3 ladder: c=1.15 -> 100.9k qps @
+    # 0.9889, c=1.2 -> 83.9k @ 0.9890, c=1.35 -> 66.1k @ 0.9890, exhaustive
+    # 42.6k @ 0.9890): ~2.4x qps at a 0.0001 recall cost.
+    STOP_FRONTIER = 1.15
 
     def run(queries, stop_frontier=STOP_FRONTIER):
         res = search_batch(
