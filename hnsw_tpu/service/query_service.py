@@ -20,6 +20,11 @@ Two modes, like the reference (main.cpp:51-147):
 
 Concurrent single-query requests are coalesced by a micro-batcher into one
 device call (the reference handles them one pointer-chase at a time).
+
+Speed knobs (service-wide flags, reported by /info): `--stop_frontier` /
+`--stop_patience` enable the adaptive-termination speed mode, `--rescore M`
+re-ranks the top M candidates exactly (default: auto, 4k on the int8 tier).
+They are static under jit, so they are per-service, not per-request.
 """
 
 from __future__ import annotations
@@ -40,7 +45,8 @@ class _Engine:
     """Device-resident search state shared by both modes."""
 
     def __init__(self, vectors_np, graph, space, default_ef, default_k, mode,
-                 storage=None, deleted=None):
+                 storage=None, deleted=None, stop_frontier=0.0,
+                 stop_patience=0, rescore=None):
         import jax
         import jax.numpy as jnp
 
@@ -51,6 +57,11 @@ class _Engine:
         self.storage = storage
         self.default_ef = default_ef
         self.default_k = default_k
+        # adaptive-termination speed mode + exact-rescore, service-wide
+        # (static under jit — per-request values would compile per value)
+        self.stop_frontier = float(stop_frontier)
+        self.stop_patience = int(stop_patience)
+        self.rescore = rescore  # None = auto (4k on the int8 tier)
         self.num_nodes = graph.num_nodes
         self.dim = vectors_np.shape[1]
         n_pad = round_up(graph.num_nodes + 1, 128)
@@ -109,7 +120,24 @@ class _Engine:
             eligible=self.eligible,
             has_mask=self.eligible is not None,
             interpret=self.interpret,
+            stop_frontier=self.stop_frontier,
+            stop_patience=self.stop_patience,
         )
+        # exact re-rank of the top candidates (auto on the int8 tier, the
+        # same policy as HNSWIndex.search)
+        m_res = self.rescore
+        if m_res is None:
+            kind = self.inline[0] if self.inline else "off"
+            m_res = 4 * k if kind == "unified8" else 0
+        m_res = min(int(m_res), max(ef, k))
+        if m_res >= k and m_res > 0:
+            from hnsw_tpu.models.hnsw import _rescore_topk
+
+            rd, ri = _rescore_topk(
+                jnp.asarray(q), self.x, res.ids, res.dists,
+                k=k, m=m_res, space=self.space, interpret=self.interpret,
+            )
+            res = type(res)(rd, ri, res.hops, res.dist_comps)
         dists = np.asarray(res.dists)[:b0]
         ids = np.asarray(res.ids)[:b0]
         labels = np.where(
@@ -249,13 +277,20 @@ def build_engine(
     dim: int,
     ef: int,
     k: int,
+    stop_frontier: float = 0.0,
+    stop_patience: int = 0,
+    rescore: int | None = None,
 ) -> _Engine:
+    speed = dict(
+        stop_frontier=stop_frontier, stop_patience=stop_patience, rescore=rescore
+    )
     if not optimized:
         from hnsw_tpu.io.checkpoint import load_checkpoint
 
         g, vectors, deleted, meta = load_checkpoint(graph_file)
         return _Engine(
-            vectors, g, meta.get("space", "l2"), ef, k, "normal", deleted=deleted
+            vectors, g, meta.get("space", "l2"), ef, k, "normal",
+            deleted=deleted, **speed,
         )
     # optimized: adjacency-only + vectors from the storage service
     from hnsw_tpu.io.adj import read_adj
@@ -269,7 +304,7 @@ def build_engine(
     order = sort_idx[pos]
     assert np.array_equal(ids[order], g.labels), "storage/graph label mismatch"
     vectors = vecs[order]
-    return _Engine(vectors, g, "l2", ef, k, "optimized", storage)
+    return _Engine(vectors, g, "l2", ef, k, "optimized", storage, **speed)
 
 
 class QueryHandler(BaseHTTPRequestHandler):
@@ -296,6 +331,11 @@ class QueryHandler(BaseHTTPRequestHandler):
                 "ef": self.engine.default_ef,
                 "mode": self.engine.mode,
             }
+            if self.engine.stop_frontier or self.engine.stop_patience:
+                info["stop_frontier"] = self.engine.stop_frontier
+                info["stop_patience"] = self.engine.stop_patience
+            if self.engine.rescore is not None:
+                info["rescore"] = self.engine.rescore
             if self.engine.storage:
                 info["storage"] = self.engine.storage
             self._json(200, info)
@@ -372,10 +412,17 @@ def main():
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--optimized", default="0")
     ap.add_argument("--dim", type=int, default=128)
+    # adaptive-termination speed mode + exact rescore (service-wide: these
+    # are static under jit, so per-request values would compile per value)
+    ap.add_argument("--stop_frontier", type=float, default=0.0)
+    ap.add_argument("--stop_patience", type=int, default=0)
+    ap.add_argument("--rescore", type=int, default=None)
     args = ap.parse_args()
     optimized = args.optimized in ("1", "true", "True")
     engine = build_engine(
-        args.graph, optimized, args.storage, args.dim, args.ef, args.k
+        args.graph, optimized, args.storage, args.dim, args.ef, args.k,
+        stop_frontier=args.stop_frontier, stop_patience=args.stop_patience,
+        rescore=args.rescore,
     )
     # all hot state now lives in device HBM; return the build-time host
     # buffers (checkpoint arrays / bulk-fetch staging) to the OS so the

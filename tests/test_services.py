@@ -220,3 +220,33 @@ def test_normal_mode_excludes_deleted(tmp_path):
     assert eng.eligible is not None
     d, l = eng.search(x[5:6], k=10, ef=64)
     assert 5 not in set(int(v) for v in l[0])
+
+
+def test_engine_speed_mode_and_rescore(tmp_path):
+    """Service speed knobs (adaptive termination + exact rescore): an
+    engine built with --stop_frontier/--rescore equivalents must return
+    near-identical top-k to the plain engine (the stop is a quality-neutral
+    cut at mild settings; rescore re-ranks with exact distances)."""
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=100)
+    idx.add_items(x)
+    ckpt = str(tmp_path / "speed.npz")
+    idx.save(ckpt)
+
+    from hnsw_tpu.service import query_service
+
+    plain = query_service.build_engine(ckpt, False, "", DIM, 64, 10)
+    fast = query_service.build_engine(
+        ckpt, False, "", DIM, 64, 10,
+        stop_frontier=1.5, stop_patience=48, rescore=20,
+    )
+    q = x[:32]
+    _, l_plain = plain.search(q, k=10, ef=64)
+    _, l_fast = fast.search(q, k=10, ef=64)
+    overlap = np.mean(
+        [len(set(l_plain[i]) & set(l_fast[i])) / 10 for i in range(32)]
+    )
+    assert overlap >= 0.95, overlap
+    # self-queries still find themselves through the fast path
+    assert (l_fast[:, 0] == np.arange(32)).mean() >= 0.95
