@@ -100,10 +100,14 @@ def main():
     idx.add_items(x)
     build_s = time.time() - t0
     log(f"build N={N}: {build_s:.1f}s ({N/build_s:.0f} inserts/s)")
-    # NOTE: bulk_build constructs the same-recall graph in ~50s here, but
-    # its graph queries ~15% slower at the same recall (longer max-hop tail
-    # from wave staleness; remeasured round 3: 85.5k vs 100.9k qps at
-    # frontier 1.15) — the host-built graph serves the headline.
+    # NOTE: bulk_build constructs the graph in ~50s here. Under the hop
+    # budget the qps gap vs the host graph vanishes (both 128.8k at cap 32;
+    # without a cap the bulk graph's longer max-hop tail costs ~15%), but
+    # the host graph still serves ~0.001 higher recall (0.9889 vs 0.9880 at
+    # cap 24) — the host-built graph keeps the headline. Graph-augmentation
+    # polish passes were tried and all LOST qps (filling padded rows with
+    # nearest or occlusion-pruned extras keeps candidates just inside the
+    # frontier threshold, delaying the stop; max hops went UP).
 
     # queries: perturbed samples; ground truth from the exact oracle
     q = x[rng.integers(0, N, BATCH)] + 0.05 * rng.normal(size=(BATCH, DIM)).astype(
@@ -118,20 +122,28 @@ def main():
     dg, vectors, sq, _, labels_np, nbr_vec = idx._sync_device()
     qd = jnp.asarray(q)
 
-    # Headline runs the adaptive-termination speed mode (stop_frontier: stop
+    # Headline runs the adaptive-termination speed mode: stop_frontier stops
     # a query once its best unexpanded beam entry is farther than c x its
-    # k-th best distance — the lower_bound-vs-candidate cut). Measured on
-    # v5e at this operating point (round-3 ladder: c=1.15 -> 100.9k qps @
-    # 0.9889, c=1.2 -> 83.9k @ 0.9890, c=1.35 -> 66.1k @ 0.9890, exhaustive
-    # 42.6k @ 0.9890): ~2.4x qps at a 0.0001 recall cost.
+    # k-th best distance (the lower_bound-vs-candidate cut), and max_iters
+    # caps the LOCKSTEP iteration count. The batch traverses in lockstep, so
+    # batch time = the slowest query's iterations — one straggler out of 8192
+    # sets the wall clock. The frontier stop leaves a max-hop tail (p99=36
+    # but max=43 iterations here); a hard hop budget at the p1-of-max cuts it
+    # at measurably zero recall cost because late iterations almost never
+    # improve the top-k. Measured on v5e at this operating point (round-3:
+    # frontier 1.15 alone -> 100.9k qps @ 0.9889; + max_iters 24 -> 163.3k @
+    # 0.9889 — recall EQUAL to the exhaustive beam's 0.9889; max_iters 20 ->
+    # 187.0k @ 0.9886; exhaustive 42.6k @ 0.9890): ~3.8x qps, 0.0001 recall.
     STOP_FRONTIER = 1.15
+    MAX_ITERS = 24
 
-    def run(queries, stop_frontier=STOP_FRONTIER):
+    def run(queries, stop_frontier=STOP_FRONTIER, max_iters=MAX_ITERS):
         res = search_batch(
             vectors, dg, queries, k=K, ef=EF, space="l2", sq_norms=sq,
             **inline_search_kwargs(nbr_vec),
             expand=EXPAND,
             stop_frontier=stop_frontier,
+            max_iters=max_iters,
         )
         return res.dists, res.ids
 
@@ -166,11 +178,11 @@ def main():
     log(f"TPU: {qps:.0f} qps (batch={BATCH}, {dt/N_QUERY_BATCHES*1000:.1f} ms/batch)")
 
     # exhaustive mode (no early termination) for the detail record
-    d, ids_x = run(qd, stop_frontier=0.0)
+    d, ids_x = run(qd, stop_frontier=0.0, max_iters=0)
     d.block_until_ready()
     t0 = time.time()
     for _ in range(N_QUERY_BATCHES):
-        d, ids_x = run(qd, stop_frontier=0.0)
+        d, ids_x = run(qd, stop_frontier=0.0, max_iters=0)
     d.block_until_ready()
     qps_exh = BATCH * N_QUERY_BATCHES / (time.time() - t0)
     log(f"TPU exhaustive: {qps_exh:.0f} qps")
@@ -196,6 +208,7 @@ def main():
                     "cpu_single_core_qps": round(cpu_qps, 1),
                     "batch": BATCH,
                     "stop_frontier": STOP_FRONTIER,
+                    "max_iters": MAX_ITERS,
                     "exhaustive_qps": round(qps_exh, 1),
                 },
             }

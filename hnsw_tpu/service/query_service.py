@@ -22,7 +22,8 @@ Concurrent single-query requests are coalesced by a micro-batcher into one
 device call (the reference handles them one pointer-chase at a time).
 
 Speed knobs (service-wide flags, reported by /info): `--stop_frontier` /
-`--stop_patience` enable the adaptive-termination speed mode, `--rescore M`
+`--stop_patience` enable the adaptive-termination speed mode, `--max_iters`
+caps the lockstep hop budget (batch time = slowest query), `--rescore M`
 re-ranks the top M candidates exactly (default: auto, 4k on the int8 tier).
 They are static under jit, so they are per-service, not per-request.
 """
@@ -46,7 +47,7 @@ class _Engine:
 
     def __init__(self, vectors_np, graph, space, default_ef, default_k, mode,
                  storage=None, deleted=None, stop_frontier=0.0,
-                 stop_patience=0, rescore=None):
+                 stop_patience=0, rescore=None, max_iters=0):
         import jax
         import jax.numpy as jnp
 
@@ -62,6 +63,10 @@ class _Engine:
         self.stop_frontier = float(stop_frontier)
         self.stop_patience = int(stop_patience)
         self.rescore = rescore  # None = auto (4k on the int8 tier)
+        # lockstep hop budget: the batch traverses in lockstep, so batch
+        # time = the slowest query's iterations; a hard cap near the p99
+        # cuts the straggler tail at ~zero recall cost (0 = uncapped)
+        self.max_iters = int(max_iters)
         self.num_nodes = graph.num_nodes
         self.dim = vectors_np.shape[1]
         n_pad = round_up(graph.num_nodes + 1, 128)
@@ -122,6 +127,7 @@ class _Engine:
             interpret=self.interpret,
             stop_frontier=self.stop_frontier,
             stop_patience=self.stop_patience,
+            max_iters=self.max_iters,
         )
         # exact re-rank of the top candidates (auto on the int8 tier, the
         # same policy as HNSWIndex.search)
@@ -280,9 +286,11 @@ def build_engine(
     stop_frontier: float = 0.0,
     stop_patience: int = 0,
     rescore: int | None = None,
+    max_iters: int = 0,
 ) -> _Engine:
     speed = dict(
-        stop_frontier=stop_frontier, stop_patience=stop_patience, rescore=rescore
+        stop_frontier=stop_frontier, stop_patience=stop_patience,
+        rescore=rescore, max_iters=max_iters,
     )
     if not optimized:
         from hnsw_tpu.io.checkpoint import load_checkpoint
@@ -334,6 +342,8 @@ class QueryHandler(BaseHTTPRequestHandler):
             if self.engine.stop_frontier or self.engine.stop_patience:
                 info["stop_frontier"] = self.engine.stop_frontier
                 info["stop_patience"] = self.engine.stop_patience
+            if self.engine.max_iters:
+                info["max_iters"] = self.engine.max_iters
             if self.engine.rescore is not None:
                 info["rescore"] = self.engine.rescore
             if self.engine.storage:
@@ -417,12 +427,13 @@ def main():
     ap.add_argument("--stop_frontier", type=float, default=0.0)
     ap.add_argument("--stop_patience", type=int, default=0)
     ap.add_argument("--rescore", type=int, default=None)
+    ap.add_argument("--max_iters", type=int, default=0)
     args = ap.parse_args()
     optimized = args.optimized in ("1", "true", "True")
     engine = build_engine(
         args.graph, optimized, args.storage, args.dim, args.ef, args.k,
         stop_frontier=args.stop_frontier, stop_patience=args.stop_patience,
-        rescore=args.rescore,
+        rescore=args.rescore, max_iters=args.max_iters,
     )
     # all hot state now lives in device HBM; return the build-time host
     # buffers (checkpoint arrays / bulk-fetch staging) to the OS so the

@@ -101,3 +101,22 @@ def test_epsilon_style_stop_fn(rng):
     p = SearchParams(k=10, ef=200, stop_fn=stop_eps, collect_metrics=True)
     d, l = idx.search(q, params=p)
     assert np.isfinite(np.asarray(d)).all()
+
+
+def test_hop_budget_caps_lockstep_iterations(rng):
+    """max_iters is the lockstep hop budget: the batch runs at the slowest
+    query's pace, so a hard cap near the hop-count p99 is the headline speed
+    mode (bench.py MAX_ITERS; measured on v5e at N=100k: frontier 1.15 alone
+    100.9k qps, + max_iters=24 163.3k qps at EQUAL 0.9889 recall)."""
+    idx, q, gt = _setup(rng)
+    p_full = SearchParams(k=10, ef=200, collect_metrics=True)
+    d0, l0 = idx.search(q, params=p_full)
+    max_full = int(np.max(idx.last_metrics.hops))
+    r_full = _recall(l0, gt)
+
+    cap = max(8, int(max_full * 0.6))
+    p_cap = SearchParams(k=10, ef=200, collect_metrics=True, max_iters=cap)
+    d1, l1 = idx.search(q, params=p_cap)
+    # expand=1 in the default params -> hops ~ iterations
+    assert int(np.max(idx.last_metrics.hops)) <= cap + 1
+    assert _recall(l1, gt) >= r_full - 0.05
