@@ -113,6 +113,33 @@ def main():
         measure("frontier 1.2 + patience 32", stop_frontier=1.2, stop_patience=32)
     )
 
+    # Lockstep hop budget (bench.py headline mode): the batch runs at the
+    # slowest query's pace, so a hard max_iters cap near the hop p99 removes
+    # the straggler tail at ~zero recall cost. Probe the frontier-stopped
+    # hop distribution once, then sweep caps around its upper percentiles.
+    def probe():
+        r = search_batch(
+            vectors, dg, qd, k=k, ef=ef, space="l2", sq_norms=sq,
+            **inline_search_kwargs(nbr_vec), expand=2, stop_frontier=1.15,
+            collect_metrics=True,
+        )
+        r.dists.block_until_ready()
+        return np.asarray(r.hops)
+
+    hops = device_retry(probe, attempts=5, base_sleep=15, log=print)
+    p50, p90, p99, hmax = (
+        int(np.percentile(hops, 50)), int(np.percentile(hops, 90)),
+        int(np.percentile(hops, 99)), int(hops.max()),
+    )
+    print(f"frontier-1.15 hops: p50={p50} p90={p90} p99={p99} max={hmax}",
+          flush=True)
+    for cap in sorted({p99 + 4, p99, max(p90, 8), max((p50 + p90) // 2, 8)},
+                      reverse=True):
+        results.append(
+            measure(f"frontier 1.15 + budget {cap}", stop_frontier=1.15,
+                    max_iters=cap)
+        )
+
     best = max(
         (r for r in results[1:] if r["recall_at_10"] >= base_rec - 0.005),
         key=lambda r: r["qps"],
