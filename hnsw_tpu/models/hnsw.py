@@ -664,6 +664,63 @@ class HNSWIndex:
         )
         return dists, labels
 
+    def calibrate_speed_mode(
+        self,
+        queries: np.ndarray | None = None,
+        *,
+        k: int = 10,
+        ef: int = 200,
+        expand: int = 2,
+        stop_frontier: float = 1.15,
+        percentile: float = 99.0,
+        margin: int = 4,
+        sample: int = 2048,
+        seed: int = 0,
+    ) -> SearchParams:
+        """Auto-tune the adaptive-termination speed mode for THIS index and
+        operating point, returning a ready `SearchParams` (also stored as
+        `self.speed_params`).
+
+        The batch traverses in lockstep, so batch time equals the slowest
+        query's iteration count; the frontier stop (the reference's
+        lower_bound-vs-candidate cut, hnswalg.h:342-436, relaxed by
+        `stop_frontier`) leaves a straggler max-hop tail well past its p99.
+        This probes the frontier-stopped hop distribution once on a
+        calibration batch and caps `max_iters` at its `percentile` plus
+        `margin` — the tuning recipe behind the measured headline speed mode
+        (v5e, N=100k: 42.6k qps exhaustive -> 163k+ at equal recall;
+        res/sweep_stop_*.json).
+
+        `queries`: calibration batch; defaults to `sample` perturbed stored
+        vectors (self-queries, the reference methodology,
+        bin/experiment.py:160-234)."""
+        if queries is None:
+            n = self.num_elements
+            rng = np.random.default_rng(seed)
+            rows = rng.integers(0, n, size=min(sample, n))
+            base = self._builder.export_vectors_rows(
+                rows.astype(np.int64)
+            ).astype(np.float32)
+            queries = base + 0.05 * rng.standard_normal(
+                base.shape
+            ).astype(np.float32)
+        probe = SearchParams(
+            k=k, ef=max(ef, k), expand=expand,
+            stop_frontier=stop_frontier, collect_metrics=True,
+        )
+        self.search(queries, params=probe)
+        hops = np.asarray(self.last_metrics.hops)
+        cap = int(np.percentile(hops, percentile)) + int(margin)
+        cap = max(cap, 1)
+        default_cap = 2 * max(ef, k) + 16
+        if cap >= default_cap:
+            cap = 0  # budget would never bind; leave uncapped
+        self.speed_params = SearchParams(
+            k=k, ef=max(ef, k), expand=expand,
+            stop_frontier=stop_frontier, max_iters=cap,
+        )
+        return self.speed_params
+
     def search_cpu(
         self,
         queries: np.ndarray,

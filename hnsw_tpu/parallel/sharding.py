@@ -1024,12 +1024,16 @@ class ShardedHNSWIndex:
         entry_labels: np.ndarray | None = None,
         stop_patience: int = 0,
         stop_frontier: float = 0.0,
+        max_iters: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched kNN over all shards (single-chip parity features:
         `filter_labels` is a bool mask over external labels, delete-marked
         elements are always excluded, `entry_labels` optionally overrides the
         per-query entry point by external label — each shard maps the label
-        to its local id or falls back to its own entry point)."""
+        to its local id or falls back to its own entry point). The speed-mode
+        knobs (`stop_patience`, `stop_frontier`, `max_iters`) match
+        single-chip `SearchParams`; the lockstep hop budget applies per
+        shard-local beam."""
         q_np = self.space.preprocess(queries)
         b0 = q_np.shape[0]
         # pad so each dp-local batch is a multiple of the hop-kernel tile
@@ -1086,5 +1090,6 @@ class ShardedHNSWIndex:
             has_entry=has_entry,
             stop_patience=stop_patience,
             stop_frontier=stop_frontier,
+            max_iters=max_iters,
         )
         return np.asarray(d)[:b0], np.asarray(l)[:b0]

@@ -24,7 +24,9 @@ device call (the reference handles them one pointer-chase at a time).
 Speed knobs (service-wide flags, reported by /info): `--stop_frontier` /
 `--stop_patience` enable the adaptive-termination speed mode, `--max_iters`
 caps the lockstep hop budget (batch time = slowest query), `--rescore M`
-re-ranks the top M candidates exactly (default: auto, 4k on the int8 tier).
+re-ranks the top M candidates exactly (default: auto, 4k on the int8 tier),
+and `--auto_speed P` tunes frontier + budget automatically at startup from
+a hop-distribution probe at percentile P (e.g. 99).
 They are static under jit, so they are per-service, not per-request.
 """
 
@@ -47,7 +49,8 @@ class _Engine:
 
     def __init__(self, vectors_np, graph, space, default_ef, default_k, mode,
                  storage=None, deleted=None, stop_frontier=0.0,
-                 stop_patience=0, rescore=None, max_iters=0):
+                 stop_patience=0, rescore=None, max_iters=0,
+                 auto_speed=0.0):
         import jax
         import jax.numpy as jnp
 
@@ -95,6 +98,45 @@ class _Engine:
             elig[: len(deleted)] = ~np.asarray(deleted, dtype=bool)
             self.eligible = jnp.asarray(elig)
         self.interpret = jax.default_backend() != "tpu"
+        if auto_speed:
+            self._calibrate(float(auto_speed))
+
+    def _calibrate(self, percentile, frontier=1.15, sample=2048, margin=4):
+        """Startup auto-tune of the speed mode (the service twin of
+        HNSWIndex.calibrate_speed_mode): probe the frontier-stopped hop
+        distribution on perturbed stored vectors — the reference's
+        self-query methodology, bin/experiment.py:160-234 — and cap the
+        lockstep hop budget at its `percentile` + `margin`. Leaves an
+        explicit --max_iters untouched."""
+        import jax.numpy as jnp
+
+        from hnsw_tpu.models.hnsw import inline_search_kwargs
+        from hnsw_tpu.ops.traversal import search_batch
+
+        if not self.stop_frontier:
+            self.stop_frontier = frontier
+        rng = np.random.default_rng(0)
+        b = min(sample, self.num_nodes)
+        b = max((b // 16) * 16, 16)
+        rows = jnp.asarray(
+            rng.integers(0, self.num_nodes, size=b).astype(np.int32)
+        )
+        q = jnp.take(self.x, rows, axis=0) + 0.05 * jnp.asarray(
+            rng.standard_normal((b, self.dim)).astype(np.float32)
+        )
+        res = search_batch(
+            self.x, self.dg, q, k=self.default_k,
+            ef=max(self.default_ef, self.default_k), space=self.space,
+            sq_norms=self.sq, **inline_search_kwargs(self.inline),
+            expand=2, eligible=self.eligible,
+            has_mask=self.eligible is not None, interpret=self.interpret,
+            stop_frontier=self.stop_frontier, collect_metrics=True,
+        )
+        hops = np.asarray(res.hops)
+        cap = int(np.percentile(hops, percentile)) + int(margin)
+        default_cap = 2 * max(self.default_ef, self.default_k) + 16
+        if not self.max_iters and cap < default_cap:
+            self.max_iters = cap
 
     def search(self, queries: np.ndarray, k: int, ef: int, entry_ids=None):
         import jax.numpy as jnp
@@ -287,10 +329,11 @@ def build_engine(
     stop_patience: int = 0,
     rescore: int | None = None,
     max_iters: int = 0,
+    auto_speed: float = 0.0,
 ) -> _Engine:
     speed = dict(
         stop_frontier=stop_frontier, stop_patience=stop_patience,
-        rescore=rescore, max_iters=max_iters,
+        rescore=rescore, max_iters=max_iters, auto_speed=auto_speed,
     )
     if not optimized:
         from hnsw_tpu.io.checkpoint import load_checkpoint
@@ -428,12 +471,17 @@ def main():
     ap.add_argument("--stop_patience", type=int, default=0)
     ap.add_argument("--rescore", type=int, default=None)
     ap.add_argument("--max_iters", type=int, default=0)
+    # >0: percentile (e.g. 99) — auto-tune the speed mode at startup by
+    # probing the frontier-stopped hop distribution on stored vectors and
+    # capping the lockstep hop budget there (no hand tuning needed)
+    ap.add_argument("--auto_speed", type=float, default=0.0)
     args = ap.parse_args()
     optimized = args.optimized in ("1", "true", "True")
     engine = build_engine(
         args.graph, optimized, args.storage, args.dim, args.ef, args.k,
         stop_frontier=args.stop_frontier, stop_patience=args.stop_patience,
         rescore=args.rescore, max_iters=args.max_iters,
+        auto_speed=args.auto_speed,
     )
     # all hot state now lives in device HBM; return the build-time host
     # buffers (checkpoint arrays / bulk-fetch staging) to the OS so the

@@ -250,3 +250,38 @@ def test_engine_speed_mode_and_rescore(tmp_path):
     assert overlap >= 0.95, overlap
     # self-queries still find themselves through the fast path
     assert (l_fast[:, 0] == np.arange(32)).mean() >= 0.95
+
+
+def test_engine_auto_speed_calibration(tmp_path):
+    """--auto_speed P: the engine probes the frontier-stopped hop
+    distribution at startup and sets the lockstep hop budget itself —
+    no hand tuning. It must pick a live cap and keep result quality."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=100)
+    idx.add_items(x)
+    ckpt = str(tmp_path / "auto.npz")
+    idx.save(ckpt)
+
+    from hnsw_tpu.service import query_service
+
+    plain = query_service.build_engine(ckpt, False, "", DIM, 64, 10)
+    auto = query_service.build_engine(
+        ckpt, False, "", DIM, 64, 10, auto_speed=99.0
+    )
+    assert auto.stop_frontier == 1.15  # default frontier applied
+    assert 0 < auto.max_iters < 2 * 64 + 16  # binding budget chosen
+    # an explicit --max_iters wins over calibration
+    pinned = query_service.build_engine(
+        ckpt, False, "", DIM, 64, 10, auto_speed=99.0, max_iters=7
+    )
+    assert pinned.max_iters == 7
+
+    q = x[:32]
+    _, l_plain = plain.search(q, k=10, ef=64)
+    _, l_auto = auto.search(q, k=10, ef=64)
+    overlap = np.mean(
+        [len(set(l_plain[i]) & set(l_auto[i])) / 10 for i in range(32)]
+    )
+    assert overlap >= 0.9, overlap
+    assert (l_auto[:, 0] == np.arange(32)).mean() >= 0.95

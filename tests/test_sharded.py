@@ -152,6 +152,22 @@ def test_sharded_entry_override(data):
     assert _recall(l, gt) >= 0.9
 
 
+def test_sharded_speed_mode(data):
+    """Speed-mode knobs on the sharded path match single-chip SearchParams:
+    frontier stop + lockstep hop budget keep recall within noise of the
+    exhaustive beam, and a brutally small budget degrades recall (proof the
+    cap is live in the shard-local loop)."""
+    x, q, gt = data
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    idx = ShardedHNSWIndex("l2", DIM, mesh=mesh, m=16, ef_construction=200)
+    idx.build(x)
+    _, l_ex = idx.search(q, k=10, ef=100)
+    _, l_sp = idx.search(q, k=10, ef=100, stop_frontier=1.15, max_iters=24)
+    assert _recall(l_sp, gt) >= _recall(l_ex, gt) - 0.02
+    _, l_tiny = idx.search(q, k=10, ef=100, max_iters=2)
+    assert _recall(l_tiny, gt) < _recall(l_ex, gt)
+
+
 def test_sharded_inline_chunked_parity():
     """Chunked sharded inline-table build equals the vmap single-shot one."""
     import jax.numpy as jnp

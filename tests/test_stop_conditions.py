@@ -120,3 +120,31 @@ def test_hop_budget_caps_lockstep_iterations(rng):
     # expand=1 in the default params -> hops ~ iterations
     assert int(np.max(idx.last_metrics.hops)) <= cap + 1
     assert _recall(l1, gt) >= r_full - 0.05
+
+
+def test_calibrate_speed_mode_auto_budget(rng):
+    """calibrate_speed_mode packages the headline tuning recipe: probe the
+    frontier-stopped hop distribution on self-queries, cap max_iters at its
+    p-th percentile + margin. The returned params must (a) carry a live,
+    binding budget, (b) serve recall within tolerance of the exhaustive
+    beam on an independent query set."""
+    idx, q, gt = _setup(rng)
+    params = idx.calibrate_speed_mode(
+        k=10, ef=200, stop_frontier=1.3, percentile=99, margin=2, sample=256
+    )
+    assert params is idx.speed_params
+    assert params.stop_frontier == 1.3
+    assert 0 < params.max_iters < 2 * 200 + 16  # binding, not the default cap
+
+    d0, l0 = idx.search(q, params=SearchParams(k=10, ef=200))
+    d1, l1 = idx.search(q, params=params)
+    assert _recall(l1, gt) >= _recall(l0, gt) - 0.05
+    # the budget really caps the loop
+    p_m = SearchParams(
+        k=10, ef=200, expand=params.expand, collect_metrics=True,
+        stop_frontier=params.stop_frontier, max_iters=params.max_iters,
+    )
+    idx.search(q, params=p_m)
+    assert int(np.max(idx.last_metrics.hops)) <= params.expand * (
+        params.max_iters + 1
+    )
