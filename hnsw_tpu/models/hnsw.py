@@ -651,7 +651,9 @@ class HNSWIndex:
                 space=self.space.name,
                 interpret=jax.default_backend() != "tpu",
             )
-            res = SearchResults(rd, ri, res.hops, res.dist_comps)
+            res = SearchResults(
+                rd, ri, res.hops, res.dist_comps, res.last_improve
+            )
         dists = np.asarray(res.dists)[:b0]
         ids = np.asarray(res.ids)[:b0]
         labels = np.where(ids < len(labels_np), labels_np[np.minimum(ids, len(labels_np) - 1)], -1)
@@ -661,6 +663,9 @@ class HNSWIndex:
             res.ids[:b0],
             np.asarray(res.hops)[:b0],
             np.asarray(res.dist_comps)[:b0],
+            None
+            if res.last_improve is None
+            else np.asarray(res.last_improve)[:b0],
         )
         return dists, labels
 
@@ -672,8 +677,8 @@ class HNSWIndex:
         ef: int = 200,
         expand: int = 2,
         stop_frontier: float = 1.15,
-        percentile: float = 99.0,
-        margin: int = 4,
+        percentile: float = 99.9,
+        margin: int = 2,
         sample: int = 2048,
         seed: int = 0,
     ) -> SearchParams:
@@ -685,11 +690,12 @@ class HNSWIndex:
         query's iteration count; the frontier stop (the reference's
         lower_bound-vs-candidate cut, hnswalg.h:342-436, relaxed by
         `stop_frontier`) leaves a straggler max-hop tail well past its p99.
-        This probes the frontier-stopped hop distribution once on a
-        calibration batch and caps `max_iters` at its `percentile` plus
-        `margin` — the tuning recipe behind the measured headline speed mode
-        (v5e, N=100k: 42.6k qps exhaustive -> 163k+ at equal recall;
-        res/sweep_stop_*.json).
+        Late iterations almost never improve the top-k, so the budget is
+        set from the tail of the LAST-IMPROVEMENT distribution — the last
+        iteration at which each query's k-th best distance decreased — at
+        `percentile` plus `margin` iterations of slack. This is the tuning
+        recipe behind the measured headline speed mode (v5e, N=100k: 42.6k
+        qps exhaustive -> 163k+ at equal recall; res/sweep_stop_*.json).
 
         `queries`: calibration batch; defaults to `sample` perturbed stored
         vectors (self-queries, the reference methodology,
@@ -709,8 +715,8 @@ class HNSWIndex:
             stop_frontier=stop_frontier, collect_metrics=True,
         )
         self.search(queries, params=probe)
-        hops = np.asarray(self.last_metrics.hops)
-        cap = int(np.percentile(hops, percentile)) + int(margin)
+        last = np.asarray(self.last_metrics.last_improve)
+        cap = int(np.percentile(last, percentile)) + int(margin)
         cap = max(cap, 1)
         default_cap = 2 * max(ef, k) + 16
         if cap >= default_cap:

@@ -58,6 +58,12 @@ class SearchResults(NamedTuple):
     ids: Array  # [B, k] int32 internal ids (>= num_nodes for missing)
     hops: Array  # [B] int32 (zeros unless collect_metrics)
     dist_comps: Array  # [B] int32 (zeros unless collect_metrics)
+    # [B] int32: last iteration (1-based) at which the query's k-th best
+    # distance improved (zeros unless collect_metrics). Late iterations
+    # almost never improve the top-k, so this distribution's tail — not the
+    # stop-iteration tail — is the right place to set the lockstep hop
+    # budget (calibrate_speed_mode uses it).
+    last_improve: Array | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -199,6 +205,7 @@ class _BeamState(NamedTuple):
     kd_prev: Array  # [B] k-th best distance last iteration (adaptive stop)
     stall: Array  # [B] iterations without top-k improvement
     done: Array  # [B] per-query early-stop flag
+    last_improve: Array  # [B] last iteration the top-k improved (metrics)
 
 
 class StopView(NamedTuple):
@@ -459,22 +466,26 @@ def search_batch(
         else:
             res_d2, res_id2 = st.res_d, st.res_id
 
+        kd_prev, stall, done = st.kd_prev, st.stall, st.done
+        last_improve = st.last_improve
+        if use_stop or collect_metrics:
+            # top-k improvement <=> the k-th best distance decreased
+            # (sorted beam: any entrant into the top k lowers it)
+            kd = (res_d2 if use_mask else beam_d2)[:, k - 1]
+            improved = (kd < kd_prev) & active
+            kd_prev = kd
+
         if collect_metrics:
             hops = st.hops + active.astype(jnp.int32)
             dist_comps = st.dist_comps + jnp.sum(fresh, axis=-1).astype(jnp.int32)
+            last_improve = jnp.where(improved, st.it + 1, last_improve)
         else:
             hops, dist_comps = st.hops, st.dist_comps
 
-        kd_prev, stall, done = st.kd_prev, st.stall, st.done
         if use_stop:
-            kd = (res_d2 if use_mask else beam_d2)[:, k - 1]
             if stop_patience > 0:
-                # top-k improvement <=> the k-th best distance decreased
-                # (sorted beam: any entrant into the top k lowers it)
-                improved = kd < kd_prev
-                stall = jnp.where(improved & active, 0, stall + 1)
+                stall = jnp.where(improved, 0, stall + 1)
                 done = done | (stall >= stop_patience)
-                kd_prev = kd
             if stop_frontier > 0:
                 unexp2 = ((beam_key3 & 1) == 0) & (beam_d2 < _INF)
                 best_unexp = jnp.min(
@@ -492,7 +503,7 @@ def search_batch(
 
         return _BeamState(
             beam_d2, beam_key3, hist2, res_d2, res_id2, hops, dist_comps,
-            st.it + 1, kd_prev, stall, done,
+            st.it + 1, kd_prev, stall, done, last_improve,
         )
 
     init = _BeamState(
@@ -507,6 +518,7 @@ def search_batch(
         jnp.full((b,), _INF),
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), bool),
+        jnp.zeros((b,), jnp.int32),
     )
     final = jax.lax.while_loop(cond, body, init)
 
@@ -514,4 +526,6 @@ def search_batch(
         out_d, out_i = final.res_d[:, :k], final.res_id[:, :k]
     else:
         out_d, out_i = final.beam_d[:, :k], final.beam_key[:, :k] >> 1
-    return SearchResults(out_d, out_i, final.hops, final.dist_comps)
+    return SearchResults(
+        out_d, out_i, final.hops, final.dist_comps, final.last_improve
+    )

@@ -101,12 +101,13 @@ class _Engine:
         if auto_speed:
             self._calibrate(float(auto_speed))
 
-    def _calibrate(self, percentile, frontier=1.15, sample=2048, margin=4):
+    def _calibrate(self, percentile, frontier=1.15, sample=2048, margin=2):
         """Startup auto-tune of the speed mode (the service twin of
-        HNSWIndex.calibrate_speed_mode): probe the frontier-stopped hop
-        distribution on perturbed stored vectors — the reference's
-        self-query methodology, bin/experiment.py:160-234 — and cap the
-        lockstep hop budget at its `percentile` + `margin`. Leaves an
+        HNSWIndex.calibrate_speed_mode): probe a frontier-stopped search on
+        perturbed stored vectors — the reference's self-query methodology,
+        bin/experiment.py:160-234 — and cap the lockstep hop budget at the
+        `percentile` tail of the LAST-IMPROVEMENT distribution + `margin`
+        (late iterations almost never improve the top-k). Leaves an
         explicit --max_iters untouched."""
         import jax.numpy as jnp
 
@@ -132,8 +133,8 @@ class _Engine:
             has_mask=self.eligible is not None, interpret=self.interpret,
             stop_frontier=self.stop_frontier, collect_metrics=True,
         )
-        hops = np.asarray(res.hops)
-        cap = int(np.percentile(hops, percentile)) + int(margin)
+        last = np.asarray(res.last_improve)
+        cap = int(np.percentile(last, percentile)) + int(margin)
         default_cap = 2 * max(self.default_ef, self.default_k) + 16
         if not self.max_iters and cap < default_cap:
             self.max_iters = cap

@@ -148,3 +148,23 @@ def test_calibrate_speed_mode_auto_budget(rng):
     assert int(np.max(idx.last_metrics.hops)) <= params.expand * (
         params.max_iters + 1
     )
+
+
+def test_last_improve_metric_bounds_needed_iterations(rng):
+    """last_improve records the last iteration each query's k-th best
+    distance improved. Capping max_iters at the batch max of last_improve
+    must reproduce the exhaustive top-k exactly — the metric is the
+    certificate that later iterations were wasted lockstep time."""
+    idx, q, gt = _setup(rng)
+    p = SearchParams(k=10, ef=200, collect_metrics=True)
+    d0, l0 = idx.search(q, params=p)
+    last = np.asarray(idx.last_metrics.last_improve)
+    hops = np.asarray(idx.last_metrics.hops)
+    assert last.shape == hops.shape
+    assert (last >= 1).all() and (last <= hops).all()
+    assert last.max() < hops.max()  # there IS a wasted tail to cut
+
+    cap = int(last.max())
+    d1, l1 = idx.search(q, params=SearchParams(k=10, ef=200, max_iters=cap))
+    assert np.array_equal(l0, l1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-6)
