@@ -128,14 +128,18 @@ def main():
     # caps the LOCKSTEP iteration count. The batch traverses in lockstep, so
     # batch time = the slowest query's iterations — one straggler out of 8192
     # sets the wall clock. The frontier stop leaves a max-hop tail (p99=36
-    # but max=43 iterations here); a hard hop budget at the p1-of-max cuts it
-    # at measurably zero recall cost because late iterations almost never
-    # improve the top-k. Measured on v5e at this operating point (round-3:
-    # frontier 1.15 alone -> 100.9k qps @ 0.9889; + max_iters 24 -> 163.3k @
-    # 0.9889 — recall EQUAL to the exhaustive beam's 0.9889; max_iters 20 ->
-    # 187.0k @ 0.9886; exhaustive 42.6k @ 0.9890): ~3.8x qps, 0.0001 recall.
+    # but max=43 iterations here); a hard hop budget near the tail of the
+    # LAST-IMPROVEMENT distribution (the last iteration each query's k-th
+    # best distance improved — what calibrate_speed_mode probes) cuts it at
+    # negligible recall cost because late iterations almost never improve
+    # the top-k. Measured on v5e at this operating point (round-3 budget
+    # sweep, exhaustive 0.9890 @ 42.6k qps): budget 24 -> 168.1k @ 0.9889,
+    # 22 -> 180.5k @ 0.9888, 20 -> 194.0k @ 0.9886, 18 -> 209.5k @ 0.9883,
+    # 16 -> 224.8k @ 0.9876. Budget 20 keeps recall within 0.0004 of the
+    # exhaustive beam (~4.6x its qps); batch 16384 measured SLOWER than
+    # 8192 (186.6k at budget 20) — 8192 stays the operating point.
     STOP_FRONTIER = 1.15
-    MAX_ITERS = 24
+    MAX_ITERS = 20
 
     def run(queries, stop_frontier=STOP_FRONTIER, max_iters=MAX_ITERS):
         res = search_batch(
