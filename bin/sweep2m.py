@@ -124,10 +124,11 @@ def main():
     rs = results[1]
 
     # Lockstep hop budget: the batch runs at the slowest query's pace, so a
-    # hard max_iters cap near the frontier-stopped hop p99 removes the
-    # straggler tail at ~zero recall cost (the 100k/1M sweeps measured
-    # 2.4-3.0x; frontier alone bought ~nothing here). Probe the hop
-    # distribution once, then sweep caps at its upper percentiles.
+    # hard max_iters cap removes the straggler tail at ~zero recall cost
+    # (the 100k/1M sweeps measured 2.9-3.2x; frontier alone bought ~nothing
+    # here). Probe once and sweep caps from the tail of the LAST-IMPROVEMENT
+    # distribution (what calibrate_speed_mode uses): iterations past a
+    # query's last top-k improvement are provably wasted lockstep time.
     def probe():
         r = search_batch(
             vectors, dg, qd, k=k, ef=ef, space="l2", sq_norms=sq,
@@ -135,17 +136,24 @@ def main():
             collect_metrics=True,
         )
         r.dists.block_until_ready()
-        return np.asarray(r.hops)
+        return np.asarray(r.hops), np.asarray(r.last_improve)
 
-    hops = device_retry(probe, attempts=5, base_sleep=15, log=print)
-    p50, p90, p99, hmax = (
-        int(np.percentile(hops, 50)), int(np.percentile(hops, 90)),
-        int(np.percentile(hops, 99)), int(hops.max()),
+    hops, last = device_retry(probe, attempts=5, base_sleep=15, log=print)
+    print(
+        f"frontier-1.15 hops: p99={int(np.percentile(hops, 99))} "
+        f"max={int(hops.max())}; last-improve: "
+        f"p95={int(np.percentile(last, 95))} "
+        f"p99={int(np.percentile(last, 99))} "
+        f"p99.9={int(np.percentile(last, 99.9))} max={int(last.max())}",
+        flush=True,
     )
-    print(f"frontier-1.15 hops: p50={p50} p90={p90} p99={p99} max={hmax}",
-          flush=True)
-    for cap in sorted({p99 + 4, p99, max(p90, 8), max((p50 + p90) // 2, 8)},
-                      reverse=True):
+    caps = {
+        int(np.percentile(hops, 99)),
+        int(np.percentile(last, 99.9)) + 2,
+        int(np.percentile(last, 99)) + 2,
+        int(np.percentile(last, 95)) + 2,
+    }
+    for cap in sorted((max(c, 8) for c in caps), reverse=True):
         results.append(
             measure(f"rescore40 + f1.15 + budget {cap}", rescore_m=40,
                     stop_frontier=1.15, max_iters=cap)
