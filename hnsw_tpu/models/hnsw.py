@@ -74,7 +74,7 @@ def _apply_row_deltas(
     dirty_ids,  # [Kb] int32 (sentinel-padded bucket)
     dirty_rows,  # [Kb, m0_pad] int32 (sentinel-padded)
     *,
-    inline_kind: str,  # "off" | "split" | "unified" | "unified8"
+    inline_kind: str,  # "off" | "split" | "unified" | "unified8" | "unified4"
     has_sq: bool,
 ):
     """Apply insert deltas to the device-resident index in place: append new
@@ -89,10 +89,11 @@ def _apply_row_deltas(
         if has_sq:
             nsq = jnp.sum(new_vecs.astype(jnp.float32) ** 2, axis=-1)
             sq = sq.at[new_ids].set(nsq)
-        if inline_kind == "unified8":
-            from hnsw_tpu.ops.pallas_gather import quantize_int8
+        if inline_kind in ("unified8", "unified4"):
+            from hnsw_tpu.ops.pallas_gather import quantize_int4, quantize_int8
 
-            ncodes, nscales = quantize_int8(new_vecs)
+            quant = quantize_int4 if inline_kind == "unified4" else quantize_int8
+            ncodes, nscales = quant(new_vecs)
             d_pad8 = codes.shape[1]
             if d_pad8 != ncodes.shape[1]:
                 ncodes = jnp.pad(
@@ -102,11 +103,19 @@ def _apply_row_deltas(
             scales = scales.at[new_ids].set(nscales)
     if dirty_ids.shape[0]:
         level0 = level0.at[dirty_ids].set(dirty_rows)
-        if inline_kind == "unified8":
-            from hnsw_tpu.ops.pallas_gather import pack_unified8_rows
+        if inline_kind in ("unified8", "unified4"):
+            from hnsw_tpu.ops.pallas_gather import (
+                pack_unified4_rows,
+                pack_unified8_rows,
+            )
 
+            pack = (
+                pack_unified4_rows
+                if inline_kind == "unified4"
+                else pack_unified8_rows
+            )
             sent = level0.shape[0] - 1
-            rows8 = pack_unified8_rows(codes, scales, dirty_rows, sent)
+            rows8 = pack(codes, scales, dirty_rows, sent)
             s8 = rows8.shape[1]
             # one flat row scatter (K*s8 128-lane rows, ~100ns each
             # serialized) — the round-2 fori_loop of dynamic_update_slices
@@ -178,6 +187,12 @@ def inline_search_kwargs(nbr_vec) -> dict:
             "unified_table": nbr_vec[1],
             "upper_tables": nbr_vec[2] or None,
             "unified_int8": True,
+        }
+    if nbr_vec[0] == "unified4":
+        return {
+            "unified_table": nbr_vec[1],
+            "upper_tables": nbr_vec[2] or None,
+            "unified_int4": True,
         }
     return {"nbr_vectors": nbr_vec[1], "level0_tiles": nbr_vec[2]}
 
@@ -436,7 +451,7 @@ class HNSWIndex:
         cds, scl = dummy_c, dummy_s
         if kind == "unified":
             nv, l0t = nbr_vec[1], dummy_t
-        elif kind == "unified8":
+        elif kind in ("unified8", "unified4"):
             nv, l0t = nbr_vec[1], dummy_t
             cds, scl = nbr_vec[3], nbr_vec[4]
         elif kind == "split":
@@ -484,8 +499,8 @@ class HNSWIndex:
             # keep the (unchanged) upper-level tables — dropping them made
             # the tag a 2-tuple and broke inline_search_kwargs downstream
             nbr_vec = ("unified", nv, nbr_vec[2])
-        elif kind == "unified8":
-            nbr_vec = ("unified8", nv, nbr_vec[2], cds, scl)
+        elif kind in ("unified8", "unified4"):
+            nbr_vec = (kind, nv, nbr_vec[2], cds, scl)
         elif kind == "split":
             nbr_vec = ("split", nv, l0t)
         else:
@@ -521,7 +536,7 @@ class HNSWIndex:
             rep["labels"] = jnp.asarray(lab_dev)
         dg = dataclasses.replace(dg, **rep)
         if (
-            kind in ("unified", "unified8")
+            kind in ("unified", "unified8", "unified4")
             and (flags & 1)
             and dg.max_level > 0
             and self.upper_inline
@@ -609,12 +624,21 @@ class HNSWIndex:
                 eligible = eligible & ok
             eligible = jnp.asarray(eligible)
 
+        m_res = params.rescore
+        if m_res is None:
+            kind = nbr_vec[0] if nbr_vec else "off"
+            m_res = 4 * params.k if kind in ("unified8", "unified4") else 0
+        m_res = min(m_res, params.ef)
+        # the rescore re-ranks the top m_res beam candidates, so the search
+        # must RETURN that many — asking for k and rescoring "the top 4k"
+        # would silently re-rank only k candidates
+        k_search = max(params.k, m_res) if m_res >= params.k else params.k
         res = search_batch(
             x,
             dg,
             q,
-            k=params.k,
-            ef=params.ef,
+            k=k_search,
+            ef=max(params.ef, k_search),
             space=self.space.name,
             sq_norms=sq,
             eligible=eligible,
@@ -635,11 +659,6 @@ class HNSWIndex:
             stop_frontier=params.stop_frontier,
             stop_fn=params.stop_fn,
         )
-        m_res = params.rescore
-        if m_res is None:
-            kind = nbr_vec[0] if nbr_vec else "off"
-            m_res = 4 * params.k if kind == "unified8" else 0
-        m_res = min(m_res, params.ef)
         if m_res >= params.k and m_res > 0:
             rd, ri = _rescore_topk(
                 q,

@@ -388,6 +388,104 @@ def make_unified8_table_chunked(
     return jax.block_until_ready(tab), codes, scales
 
 
+# ---------------------------------------------------------------------------
+# int4 unified node blocks: the same one-DMA-per-expansion design at a
+# QUARTER of the bf16 row (m0=32/d=128: 5 sublanes = 2.5KB vs 17 = 8.7KB),
+# pushing per-chip capacity past the int8 tier's ~2M to ~3M+ on a 16GiB
+# v5e. Per-vector symmetric 4-bit quantization (scale = max|x|/7) is coarse
+# for final ranking but fine for BEAM NAVIGATION; the mandatory
+# exact-rescore pass restores the ordering (measured: exhaustive search on
+# int4-dequantized vectors + rescore-40 reproduces the exact f32 top-10 on
+# clustered-gaussian data).
+#
+# Packing avoids any in-kernel relayout: nibble j of the int32 at (code
+# sublane i, lane l) holds neighbor (j*sv4 + i)'s dim-l code, so the kernel
+# unpacks with 8 shift-pairs and a SUBLANE CONCAT whose output order is
+# exactly the natural neighbor order — ids and scales need no permutation.
+# ---------------------------------------------------------------------------
+
+
+def unified4_row_sublanes(m0: int, d_pad: int) -> tuple[int, int]:
+    """(vector int32 sublanes sv4, total row sublanes) of an int4 unified
+    node block: m0*d_pad 4-bit codes packed 8-per-int32, + 1 id+scale
+    sublane (lanes 0..m0-1 ids, m0..2*m0-1 scales)."""
+    assert m0 * d_pad % 1024 == 0 and 2 * m0 <= 128
+    sv4 = m0 * d_pad // 1024
+    return sv4, sv4 + 1
+
+
+def quantize_int4(vectors: Array) -> tuple[Array, Array]:
+    """Per-vector symmetric 4-bit quantization → (codes [N, D] int8 in
+    [-7, 7], scales [N] f32). x ≈ codes * scale."""
+    amax = jnp.max(jnp.abs(vectors.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    codes = jnp.clip(
+        jnp.round(vectors.astype(jnp.float32) / scale[:, None]), -7, 7
+    ).astype(jnp.int8)
+    return codes, scale.astype(jnp.float32)
+
+
+def pack_unified4_rows(
+    codes: Array,  # [N_pad, D_pad] int8 in [-7,7] (lane-padded)
+    scales: Array,  # [N_pad] f32
+    nbr_ids: Array,  # [K, m0]
+    sent: int,
+) -> Array:
+    """Pack neighbor blocks into int4 unified rows [K, sv4+1, 128] int32.
+
+    Nibble j (bits 4j..4j+3) of the int32 at (sublane i, lane l) holds the
+    two's-complement code of neighbor j*sv4+i, flat position l — chosen so
+    the kernel's per-nibble unpack + sublane concat lands in natural
+    neighbor-major order with no relayout."""
+    k, m0 = nbr_ids.shape
+    d_pad = codes.shape[1]
+    sv4, _ = unified4_row_sublanes(m0, d_pad)
+    rows = jnp.take(codes, nbr_ids.reshape(-1), axis=0)  # [K*m0, d_pad]
+    # flat nibble stream (m0*d_pad) → [8 nibble slots, sv4 sublanes, 128]
+    g = rows.reshape(k, 8, sv4, 128).astype(jnp.int32) & 0xF
+    shifts = (4 * jnp.arange(8, dtype=jnp.int32))[None, :, None, None]
+    packed = jnp.sum(g << shifts, axis=1).astype(jnp.int32)  # [K, sv4, 128]
+    s_rows = jnp.take(scales, nbr_ids.reshape(-1), axis=0).reshape(k, m0)
+    s_bits = jax.lax.bitcast_convert_type(s_rows, jnp.int32)
+    ids_row = jnp.full((k, 128), sent, jnp.int32)
+    ids_row = jax.lax.dynamic_update_slice(
+        ids_row, nbr_ids.astype(jnp.int32), (0, 0)
+    )
+    ids_row = jax.lax.dynamic_update_slice(ids_row, s_bits, (0, m0))
+    return jnp.concatenate([packed, ids_row[:, None, :]], axis=1)
+
+
+def make_unified4_table_chunked(
+    vectors: Array, level0: Array, chunk: int = 1 << 17
+) -> tuple[Array, Array, Array]:
+    """Build the dense 2D int4 table [N_pad*s4, 128] plus the (codes,
+    scales) side tables kept for delta refreshes. Chunked donated
+    accumulation bounds peak HBM like the other table builders."""
+    import functools as _ft
+
+    n_pad, m0 = level0.shape
+    d = vectors.shape[1]
+    d_pad = -(-d // 128) * 128
+    sv4, s4 = unified4_row_sublanes(m0, d_pad)
+    sent = n_pad - 1
+
+    codes, scales = quantize_int4(vectors)
+    if d_pad != d:
+        codes = jnp.pad(codes, ((0, 0), (0, d_pad - d)))
+    codes = jax.block_until_ready(codes)
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def upd(tab, cds, scl, lvl, start):
+        rows = pack_unified4_rows(cds, scl, lvl, sent).reshape(-1, 128)
+        return jax.lax.dynamic_update_slice(tab, rows, (start * s4, 0))
+
+    tab = jnp.zeros((n_pad * s4, 128), jnp.int32)
+    for s in range(0, n_pad, chunk):
+        e = min(s + chunk, n_pad)
+        tab = upd(tab, codes, scales, level0[s:e], jnp.int32(s))
+    return jax.block_until_ready(tab), codes, scales
+
+
 def make_upper_tables(
     vectors: Array, upper: Array, upper_slot: Array
 ) -> tuple[tuple[Array, Array], ...]:
@@ -478,6 +576,7 @@ def _hop_dist_unified_kernel(
     ip,
     nbuf,
     int8=False,
+    int4=False,
 ):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
@@ -525,8 +624,16 @@ def _hop_dist_unified_kernel(
     idrow = blk[:, sv, :].reshape(tb, e, 128)
     for j in range(e):
         ids_ref[:, j * m0 : (j + 1) * m0] = idrow[:, j, :m0]
-    if int8:
-        codes = pltpu.bitcast(blk[:, :sv, :], jnp.int8)  # [tb*e, 4sv, 128]
+    if int8 or int4:
+        if int4:
+            # unpack 8 nibbles per int32 with sign-extending shift pairs;
+            # the pack order makes the sublane concat land in natural
+            # neighbor-major order (pack_unified4_rows)
+            v = blk[:, :sv, :]  # [tb*e, sv4, 128] int32
+            parts = [(v << (28 - 4 * j)) >> 28 for j in range(8)]
+            codes = jnp.concatenate(parts, axis=1)  # [tb*e, 8*sv4, 128]
+        else:
+            codes = pltpu.bitcast(blk[:, :sv, :], jnp.int8)  # [tb*e,4sv,128]
         r32 = codes.reshape(tb, em, d_pad).astype(jnp.float32)
         # per-neighbor dequant scales ride lanes m0..2m0-1 of the id sublane
         sc_parts = [
@@ -550,7 +657,7 @@ def _hop_dist_unified_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("space", "m0", "tb", "interpret", "nbuf", "int8"),
+    static_argnames=("space", "m0", "tb", "interpret", "nbuf", "int8", "int4"),
 )
 def hop_dist_unified(
     q: Array,  # [B, D]
@@ -562,6 +669,7 @@ def hop_dist_unified(
     interpret: bool = False,
     nbuf: int = 2,
     int8: bool = False,
+    int4: bool = False,
 ) -> tuple[Array, Array]:
     """Expand `chosen` nodes with ONE contiguous DMA per (query, chosen):
     the unified row carries both the m0 neighbor vectors (bf16-packed) and
@@ -572,11 +680,13 @@ def hop_dist_unified(
     b, d = q.shape
     e = chosen.shape[1]
     d_pad = -(-d // 128) * 128
-    sv, s_data = (
-        unified8_row_sublanes(m0, d_pad)
-        if int8
-        else unified_row_sublanes(m0, d_pad)
-    )
+    assert not (int8 and int4)
+    if int4:
+        sv, s_data = unified4_row_sublanes(m0, d_pad)
+    elif int8:
+        sv, s_data = unified8_row_sublanes(m0, d_pad)
+    else:
+        sv, s_data = unified_row_sublanes(m0, d_pad)
     assert table.ndim == 2 and table.shape[0] % s_data == 0, (
         table.shape, s_data,
     )
@@ -591,7 +701,7 @@ def hop_dist_unified(
     kernel = functools.partial(
         _hop_dist_unified_kernel,
         tb=tb, e=e, m0=m0, sv=sv, d_pad=d_pad, ip=space == "ip", nbuf=nbuf,
-        int8=int8,
+        int8=int8, int4=int4,
     )
     return pl.pallas_call(
         kernel,
@@ -674,6 +784,21 @@ def build_inline_tables(
         table, codes, scales = make_unified8_table_chunked(x, dg.level0)
         # the quantized side tables stay live for row-delta refresh
         return ("unified8", table, upper_tabs(), codes, scales)
+    # int4 rung: a quarter of the bf16 row (2.5KB/node at m0=32/d=128) —
+    # the ~3M-per-chip capacity tier past int8's ~2M. Same footprint
+    # accounting: packed table + codes/scales side tables for delta refresh.
+    u4_bytes = (
+        n_pad * (m0_pad * d_pad // 1024 + 1) * 512 + n_pad * d_pad + 4 * n_pad
+        if m0_pad * d_pad % 1024 == 0
+        else 0
+    )
+    if (
+        2 * m0_pad <= 128
+        and m0_pad * d_pad % 1024 == 0
+        and u4_bytes <= unified_max_bytes
+    ):
+        table, codes, scales = make_unified4_table_chunked(x, dg.level0)
+        return ("unified4", table, upper_tabs(), codes, scales)
     if m0_pad <= 32 and n_pad * m0_pad * d_pad * 2 <= split_max_bytes:
         tab_bytes = n_pad * m0_pad * d_pad * 2
         if tab_bytes > 2**31:

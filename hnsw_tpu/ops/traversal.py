@@ -237,6 +237,7 @@ class StopView(NamedTuple):
         "tb",
         "nbuf",
         "unified_int8",
+        "unified_int4",
         "stop_patience",
         "stop_frontier",
         "stop_fn",
@@ -266,6 +267,7 @@ def search_batch(
     tb: int = 16,  # hop-kernel query tile (queries per grid step)
     nbuf: int = 2,  # hop-kernel DMA pipeline depth (buffers in flight)
     unified_int8: bool = False,  # unified_table rows are int8-quantized
+    unified_int4: bool = False,  # unified_table rows are int4-quantized
     stop_patience: int = 0,  # >0: stop a query after this many iterations
     #   without top-k improvement (adaptive-termination speed mode)
     stop_frontier: float = 0.0,  # >0: stop a query once its best UNexpanded
@@ -408,6 +410,7 @@ def search_batch(
             d, nbrs = hop_dist_unified(
                 q, unified_table, chosen, max_m0, space, tb=tb,
                 interpret=interpret, nbuf=nbuf, int8=unified_int8,
+                int4=unified_int4,
             )
         # Split fast path: one Pallas call per hop (contiguous DMAs for
         # vectors and the 32-node id tile), ids extracted with one-hot reduces.

@@ -250,10 +250,20 @@ def build_sharded_arrays(
             if u8_ok
             else 1 << 62
         )
+        u4_ok = m0_pad * d_pad % 1024 == 0 and 2 * m0_pad <= 128
+        u4_bytes = (
+            n_pad * (m0_pad * d_pad // 1024 + 1) * 512
+            + n_pad * d_pad
+            + 4 * n_pad
+            if u4_ok
+            else 1 << 62
+        )
         if m0_pad <= 128 and n_pad * s_row * 512 <= unified_max_bytes:
             kind = "unified"
         elif u8_bytes <= unified_max_bytes:
             kind = "unified8"
+        elif u4_bytes <= unified_max_bytes:
+            kind = "unified4"
         elif m0_pad <= 32 and n_pad * m0_pad * d_pad * 2 <= SPLIT_MAX_BYTES:
             kind = "split"
 
@@ -276,11 +286,18 @@ def build_sharded_arrays(
         uni_tab = _make_sharded_unified_chunked(
             vecs_dev, level0_dev, shard_spec(None, None)
         )
-    elif kind == "unified8":
-        from hnsw_tpu.ops.pallas_gather import pack_unified8_rows
+    elif kind in ("unified8", "unified4"):
+        from hnsw_tpu.ops.pallas_gather import (
+            pack_unified4_rows,
+            pack_unified8_rows,
+            quantize_int4,
+            unified4_row_sublanes,
+        )
 
+        quant = quantize_int4 if kind == "unified4" else quantize_int8
+        pack = pack_unified4_rows if kind == "unified4" else pack_unified8_rows
         codes, scales = jax.jit(
-            jax.vmap(quantize_int8),
+            jax.vmap(quant),
             out_shardings=(shard_spec(None, None), shard_spec(None)),
         )(vecs_dev)
         if d_pad != dim:
@@ -288,7 +305,11 @@ def build_sharded_arrays(
                 lambda c: jnp.pad(c, ((0, 0), (0, 0), (0, d_pad - dim))),
                 out_shardings=shard_spec(None, None),
             )(codes)
-        _, s8 = unified8_row_sublanes(m0_pad, d_pad)
+        _, s8 = (
+            unified4_row_sublanes(m0_pad, d_pad)
+            if kind == "unified4"
+            else unified8_row_sublanes(m0_pad, d_pad)
+        )
         sent = n_pad - 1
 
         @functools.partial(
@@ -296,7 +317,7 @@ def build_sharded_arrays(
         )
         def upd8(tab, cds, scl, lvl, start):
             rows = jax.vmap(
-                lambda c1, s1, l1: pack_unified8_rows(c1, s1, l1, sent).reshape(
+                lambda c1, s1, l1: pack(c1, s1, l1, sent).reshape(
                     -1, 128
                 )
             )(cds, scl, lvl)
@@ -336,7 +357,7 @@ def build_sharded_arrays(
             out_shardings=shard_spec(None, None, None),
         )(level0_dev)
 
-    if kind in ("unified", "unified8") and max_l > 0:
+    if kind in ("unified", "unified8", "unified4") and max_l > 0:
         out_sh = tuple(
             (shard_spec(None, None), shard_spec(None)) for _ in range(max_l)
         )
@@ -438,22 +459,31 @@ def sharded_search(
         # strip the leading local-shard dim (size 1 per device)
         a1 = jax.tree_util.tree_map(lambda t: t[0], a)
         tier_kwargs = {}
-        if kind in ("unified", "unified8"):
+        if kind in ("unified", "unified8", "unified4"):
             tier_kwargs = dict(
                 unified_table=a1.unified_table,
                 upper_tables=a1.upper_tabs if a1.upper_tabs else None,
                 unified_int8=kind == "unified8",
+                unified_int4=kind == "unified4",
             )
         elif kind == "split":
             tier_kwargs = dict(
                 nbr_vectors=a1.nbr_vectors, level0_tiles=a1.level0_tiles
             )
+        # quantized tiers rescore SHARD-LOCALLY: each shard re-ranks its m
+        # best candidates against its own f32 vectors before the merge, so
+        # the all-gathered distances are exact and globally comparable (the
+        # single-chip auto-rescore policy, models/hnsw.py)
+        m_res = (
+            min(4 * k, max(ef, k)) if kind in ("unified8", "unified4") else 0
+        )
+        k_loc = max(k, m_res)
         res = search_batch(
             a1.vectors,
             _local_graph(a1),
             q,
-            k=k,
-            ef=ef,
+            k=k_loc,
+            ef=max(ef, k_loc),
             space=space,
             sq_norms=a1.sq_norms if space == "l2" else None,
             eligible=el[0] if has_mask else None,
@@ -466,6 +496,16 @@ def sharded_search(
             stop_patience=stop_patience,
             stop_frontier=stop_frontier,
         )
+        if m_res:
+            from hnsw_tpu.models.hnsw import _rescore_topk
+
+            rd, ri = _rescore_topk(
+                q, a1.vectors, res.ids, res.dists,
+                k=k, m=m_res, space=space, interpret=interpret,
+            )
+        else:
+            rd, ri = res.dists, res.ids
+        res = type(res)(rd, ri, res.hops, res.dist_comps, res.last_improve)
         # local ids -> global labels before leaving the shard
         lab = jnp.take(a1.labels, jnp.clip(res.ids, 0, a1.labels.shape[0] - 1))
         lab = jnp.where(jnp.isfinite(res.dists), lab, -1)
@@ -537,10 +577,14 @@ def _apply_sharded_row_deltas(
             if has_sq:
                 nsq = jnp.sum(nvecs.astype(jnp.float32) ** 2, axis=-1)
                 sq1 = sq1.at[nids].set(nsq)
-            if kind == "unified8":
-                from hnsw_tpu.ops.pallas_gather import quantize_int8
+            if kind in ("unified8", "unified4"):
+                from hnsw_tpu.ops.pallas_gather import (
+                    quantize_int4,
+                    quantize_int8,
+                )
 
-                nc, ns = quantize_int8(nvecs)
+                q8 = quantize_int4 if kind == "unified4" else quantize_int8
+                nc, ns = q8(nvecs)
                 if c1.shape[1] != nc.shape[1]:
                     nc = jnp.pad(nc, ((0, 0), (0, c1.shape[1] - nc.shape[1])))
                 c1 = c1.at[nids].set(nc)
@@ -554,10 +598,18 @@ def _apply_sharded_row_deltas(
                 s_row = rows_u.shape[1]
                 flat_idx = (dids[:, None] * s_row + jnp.arange(s_row)).reshape(-1)
                 uni1 = uni1.at[flat_idx].set(rows_u.reshape(-1, 128))
-            elif kind == "unified8":
-                from hnsw_tpu.ops.pallas_gather import pack_unified8_rows
+            elif kind in ("unified8", "unified4"):
+                from hnsw_tpu.ops.pallas_gather import (
+                    pack_unified4_rows,
+                    pack_unified8_rows,
+                )
 
-                rows8 = pack_unified8_rows(c1, s1, drows, sent)
+                pk = (
+                    pack_unified4_rows
+                    if kind == "unified4"
+                    else pack_unified8_rows
+                )
+                rows8 = pk(c1, s1, drows, sent)
                 s8 = rows8.shape[1]
                 flat_idx = (dids[:, None] * s8 + jnp.arange(s8)).reshape(-1)
                 uni1 = uni1.at[flat_idx].set(rows8.reshape(-1, 128))
@@ -874,7 +926,7 @@ class ShardedHNSWIndex:
                 ),
                 entry_point=jax.device_put(jnp.asarray(entry), spec()),
             )
-            if kind in ("unified", "unified8") and max_l > 0:
+            if kind in ("unified", "unified8", "unified4") and max_l > 0:
                 from hnsw_tpu.ops.pallas_gather import make_upper_tables
 
                 out_sh = tuple(

@@ -154,12 +154,21 @@ class _Engine:
             e = np.zeros(b_pad, dtype=np.int32)
             e[:b0] = entry_ids
             ent = jnp.asarray(e)
+        # exact re-rank of the top candidates (auto on the quantized tiers,
+        # the same policy as HNSWIndex.search); the search must RETURN
+        # m_res candidates for the rescore to have anything to re-rank
+        m_res = self.rescore
+        if m_res is None:
+            kind = self.inline[0] if self.inline else "off"
+            m_res = 4 * k if kind in ("unified8", "unified4") else 0
+        m_res = min(int(m_res), max(ef, k))
+        k_search = max(k, m_res) if m_res >= k else k
         res = search_batch(
             self.x,
             self.dg,
             jnp.asarray(q),
-            k=k,
-            ef=max(ef, k),
+            k=k_search,
+            ef=max(ef, k_search),
             space=self.space,
             sq_norms=self.sq,
             entry_ids=ent,
@@ -172,13 +181,6 @@ class _Engine:
             stop_patience=self.stop_patience,
             max_iters=self.max_iters,
         )
-        # exact re-rank of the top candidates (auto on the int8 tier, the
-        # same policy as HNSWIndex.search)
-        m_res = self.rescore
-        if m_res is None:
-            kind = self.inline[0] if self.inline else "off"
-            m_res = 4 * k if kind == "unified8" else 0
-        m_res = min(int(m_res), max(ef, k))
         if m_res >= k and m_res > 0:
             from hnsw_tpu.models.hnsw import _rescore_topk
 

@@ -154,3 +154,76 @@ def test_unified8_search_end_to_end(rng):
     ])
     assert overlap >= 0.95, overlap
     assert np.mean(l8[:, 0] == np.arange(64)) >= 0.95
+
+
+def test_unified4_kernel_parity(rng):
+    """int4 unified rows: hop distances must match the dequantized math
+    (nibble pack/unpack round trip + per-neighbor scales)."""
+    import jax.numpy as jnp
+
+    from hnsw_tpu.ops.pallas_gather import (
+        hop_dist_unified,
+        make_unified4_table_chunked,
+    )
+
+    n, d, m0 = 512, 128, 32
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    lvl = jnp.asarray(rng.integers(0, n - 1, size=(n, m0)).astype(np.int32))
+    tab, codes, scales = make_unified4_table_chunked(x, lvl, chunk=200)
+    assert np.abs(np.asarray(codes)).max() <= 7
+    q = jnp.asarray(rng.normal(size=(16, d)).astype(np.float32))
+    chosen = jnp.asarray(rng.integers(0, n - 1, size=(16, 2)).astype(np.int32))
+    dists, ids = hop_dist_unified(
+        q, tab, chosen, m0, "l2", interpret=True, int4=True
+    )
+    ids_ref = np.asarray(lvl)[np.asarray(chosen)]  # [16, 2, m0]
+    np.testing.assert_array_equal(
+        np.asarray(ids).reshape(16, 2, m0), ids_ref
+    )
+    deq = np.asarray(codes).astype(np.float32) * np.asarray(scales)[:, None]
+    rows = deq[ids_ref]  # [16, 2, m0, d]
+    d_ref = ((np.asarray(q)[:, None, None, :] - rows) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        np.asarray(dists).reshape(16, 2, m0), d_ref, rtol=1e-4, atol=1e-3
+    )
+
+
+def test_unified4_search_end_to_end(rng):
+    """Force the int4 tier via a budget between the int4 and int8 table
+    footprints; with the auto exact-rescore pass the search quality must
+    stay close to the bf16 path."""
+    from hnsw_tpu.models.hnsw import HNSWIndex
+
+    # clustered data (the documented int4-tier workload): on IID gaussian —
+    # the ANN worst case where all pairwise distances concentrate — 4-bit
+    # navigation noise costs ~15% overlap even with rescore
+    centers = rng.normal(size=(64, 128)).astype(np.float32)
+    x = centers[rng.integers(0, 64, 2000)] + 0.3 * rng.normal(
+        size=(2000, 128)
+    ).astype(np.float32)
+    idx = HNSWIndex("l2", dim=128, m=16, ef_construction=100,
+                    inline_neighbors=True)
+    idx.add_items(x)
+    # int8 rows: 9 sublanes + side tables (~4740 B/node); int4: 5 sublanes
+    # + sides (~2692) — pick a budget between
+    n_pad = ((2000 + 1 + 125) // 128 + 1) * 128
+    idx.unified_max_bytes = 3500 * n_pad
+    q = x[:64] + 0.01 * rng.normal(size=(64, 128)).astype(np.float32)
+    d4, l4 = idx.search(q, k=10, ef=100)
+    assert idx._device[5][0] == "unified4", idx._device[5][0]
+
+    idx.rebuild_device_tables(unified_max_bytes=10 * 2**30)
+    assert idx._device[5][0] == "unified"
+    d16, l16 = idx.search(q, k=10, ef=100)
+    overlap = np.mean([
+        len(set(l4[i]) & set(l16[i])) / 10 for i in range(64)
+    ])
+    assert overlap >= 0.9, overlap
+    assert np.mean(l4[:, 0] == np.arange(64)) >= 0.95
+    # rescored distances are exact f32, not dequantized approximations:
+    # top-1 distance must equal the true query->vector distance
+    true_d = ((q - x[:64]) ** 2).sum(-1)
+    hit = l4[:, 0] == np.arange(64)
+    # (atol 1e-4 >> kernel accumulation-order noise ~6e-5 but far below the
+    # ~0.05+ error of raw int4-dequantized distances)
+    np.testing.assert_allclose(d4[hit, 0], true_d[hit], rtol=1e-2, atol=1e-4)

@@ -63,6 +63,7 @@ def _build(x, kind_budget, mesh):
         (None, "off"),
         (1 << 40, "unified"),
         (2 * 10**6, "unified8"),  # too small for bf16 unified, fits int8
+        (1_200_000, "unified4"),  # too small for int8, fits int4
         (0, "split"),
     ],
 )
@@ -73,7 +74,9 @@ def test_tier_ladder_recall(data, budget, expect):
     assert idx._arrays.kind == expect, (idx._arrays.kind, expect)
     d, labels = idx.search(q, k=10, ef=150)
     r = _recall(labels, gt)
-    floor = 0.93 if expect == "unified8" else 0.95
+    # quantized tiers rescore shard-locally against f32, so their floor is
+    # navigation-limited, not ranking-limited
+    floor = 0.93 if expect in ("unified8", "unified4") else 0.95
     assert r >= floor, f"kind={expect} recall {r}"
 
 
