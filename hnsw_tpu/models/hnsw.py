@@ -543,9 +543,15 @@ class HNSWIndex:
         ):
             # upper tables reference upper adjacency + vectors: rebuild
             # (small, ~N/M rows) after both were updated
-            from hnsw_tpu.ops.pallas_gather import make_upper_tables
+            from hnsw_tpu.ops.pallas_gather import (
+                make_upper_tables,
+                upper_level_sizes_u,
+            )
 
-            upper_tabs = jax.jit(make_upper_tables)(x, dg.upper, dg.upper_slot)
+            sizes = upper_level_sizes_u(dg.upper_slot, dg.upper.shape[1])
+            upper_tabs = jax.jit(
+                functools.partial(make_upper_tables, level_sizes=sizes)
+            )(x, dg.upper, dg.upper_slot)
             nbr_vec = (kind, nbr_vec[1], upper_tabs) + tuple(nbr_vec[3:])
         self._device = (dg, x, sq, deleted, labels_np, nbr_vec)
         self._synced_n = n

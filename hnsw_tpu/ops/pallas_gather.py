@@ -486,8 +486,34 @@ def make_unified4_table_chunked(
     return jax.block_until_ready(tab), codes, scales
 
 
+def upper_level_sizes_u(upper_slot: Array, u_pad: int) -> tuple[int, ...]:
+    """Per-level count of REAL slots (< u_pad - 1) in the slot map; one
+    device reduce + scalar readback per call. Works on [L, N_pad] and, for
+    the sharded stacked layout, [S, L, N_pad] (max over shards). Levels are
+    geometrically smaller (~N/M per step), but the stacked `upper` array
+    pads every level to level 1's width — without per-level sizing the
+    inline descent tables cost ~4.3GB at N=3M, ~90% of it padding rows no
+    slot value can ever address."""
+    import jax as _jax
+    import numpy as np
+
+    if upper_slot.ndim == 3:
+        if upper_slot.shape[1] == 0:
+            return ()
+        mx = jnp.max(
+            jnp.where(upper_slot == u_pad - 1, -1, upper_slot), axis=(0, 2)
+        )
+    else:
+        if upper_slot.shape[0] == 0:
+            return ()
+        mx = jnp.max(
+            jnp.where(upper_slot == u_pad - 1, -1, upper_slot), axis=1
+        )
+    return tuple(int(v) + 1 for v in np.asarray(_jax.device_get(mx)))
+
+
 def make_upper_tables(
-    vectors: Array, upper: Array, upper_slot: Array
+    vectors: Array, upper: Array, upper_slot: Array, level_sizes=None
 ) -> tuple[tuple[Array, Array], ...]:
     """Per-upper-level unified tables for the inline greedy descent.
 
@@ -495,29 +521,41 @@ def make_upper_tables(
     vectors plus the neighbors' *slots at the same level* in the id sublane
     (so the descent loop never touches upper_slot mid-level; the round-1
     design did one serialized XLA row gather per hop, ~9% of query time).
-    Returns ((table_l [U_pad*s_data, 128], slot_to_id_l [U_pad]), ...).
-    """
+    Returns ((table_l [U_l_pad*s_data, 128], slot_to_id_l [U_l_pad]), ...).
+
+    `level_sizes` (static ints from upper_level_sizes_u): per-level REAL
+    slot counts; each level's table is then sized to its own population + a
+    dummy row instead of level 1's width (levels shrink ~M-fold each step,
+    so uniform padding costs GBs at N=3M). Slot values ≥ the local size
+    clamp onto the local dummy row, whose content — all-sentinel links — is
+    identical to the global dummy row's by the padding construction."""
     ml, u_pad, m = upper.shape
     n_pad = upper_slot.shape[1]
     sent = n_pad - 1
     m_pad = max(16, -(-m // 16) * 16)
     out = []
     for l in range(ml):
-        nbrs = upper[l]  # [U_pad, M] node ids (sent = absent)
+        if level_sizes is None:
+            u_l = u_pad
+        else:
+            u_l = min(u_pad, -(-(level_sizes[l] + 1) // 8) * 8)
+        nbrs = upper[l, :u_l]  # [U_l, M] node ids (sent = absent)
         if m_pad != m:
             nbrs = jnp.pad(nbrs, ((0, 0), (0, m_pad - m)), constant_values=sent)
         # neighbor slots at this level; the sentinel id maps to the dummy
-        # slot u_pad-1 by construction of upper_slot
-        nbr_slots = jnp.take(upper_slot[l], nbrs, axis=0)
+        # slot u_pad-1 by construction of upper_slot — clamp to the LOCAL
+        # dummy u_l-1
+        nbr_slots = jnp.minimum(jnp.take(upper_slot[l], nbrs, axis=0), u_l - 1)
         tab = pack_unified_rows(
-            vectors, nbrs, u_pad - 1, id_payload=nbr_slots
+            vectors, nbrs, u_l - 1, id_payload=nbr_slots
         ).reshape(-1, 128)
-        # slot -> node id (dummy slot stays sentinel)
-        ids = jnp.full((u_pad,), sent, jnp.int32)
-        ids = ids.at[upper_slot[l]].set(
+        # slot -> node id (dummy slot stays sentinel); out-of-range slot
+        # values clamp onto the dummy row, which is then reset to sentinel
+        ids = jnp.full((u_l,), sent, jnp.int32)
+        ids = ids.at[jnp.minimum(upper_slot[l], u_l - 1)].set(
             jnp.arange(n_pad, dtype=jnp.int32)
         )
-        ids = ids.at[u_pad - 1].set(sent)
+        ids = ids.at[u_l - 1].set(sent)
         out.append((tab, ids))
     return tuple(out)
 
@@ -755,14 +793,16 @@ def build_inline_tables(
     d_pad = -(-dim // 128) * 128
 
     def upper_tabs():
-        # upper_inline=False skips the per-level unified descent tables
-        # (~1.2GB at 2M) — bulk-build waves run at the HBM edge and fall
-        # back to the gather descent, serving rebuilds them
-        return (
-            _jax.jit(make_upper_tables)(x, dg.upper, dg.upper_slot)
-            if upper_inline and dg.max_level > 0
-            else ()
-        )
+        # upper_inline=False skips the per-level unified descent tables —
+        # bulk-build waves run at the HBM edge and fall back to the gather
+        # descent, serving rebuilds them. Tables are sized per level
+        # (upper_level_sizes_u): uniform level-1-width padding cost ~4.3GB
+        # at 3M and OOM'd the int4 serving config.
+        if not (upper_inline and dg.max_level > 0):
+            return ()
+        sizes = upper_level_sizes_u(dg.upper_slot, dg.upper.shape[1])
+        fn = functools.partial(make_upper_tables, level_sizes=sizes)
+        return _jax.jit(fn)(x, dg.upper, dg.upper_slot)
 
     _, s_row = unified_row_sublanes(m0_pad, d_pad)
     if m0_pad <= 128 and n_pad * s_row * 512 <= unified_max_bytes:

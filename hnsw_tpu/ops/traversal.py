@@ -333,6 +333,10 @@ def search_batch(
         for level in range(top, 0, -1):
             tab, slot_ids = upper_tables[level - 1]
             u_pad = slot_ids.shape[0]
+            # tables are sized per level (make_upper_tables level_sizes);
+            # slot values from the SHARED slot map use the global dummy —
+            # clamp onto the local dummy row (identical all-sentinel content)
+            cur_slot = jnp.minimum(cur_slot, u_pad - 1)
             nxt_slot, nxt_d = _greedy_descent_inline(
                 q, tab, cur_slot, cur_d, u_pad, m_pad, space, interpret
             )

@@ -361,8 +361,14 @@ def build_sharded_arrays(
         out_sh = tuple(
             (shard_spec(None, None), shard_spec(None)) for _ in range(max_l)
         )
+        from hnsw_tpu.ops.pallas_gather import upper_level_sizes_u
+
+        sizes = upper_level_sizes_u(upper_slot_dev, u_pad)
         upper_tabs = jax.jit(
-            jax.vmap(make_upper_tables), out_shardings=out_sh
+            jax.vmap(
+                functools.partial(make_upper_tables, level_sizes=sizes)
+            ),
+            out_shardings=out_sh,
         )(vecs_dev, upper_dev, upper_slot_dev)
 
     return ShardedIndexArrays(
@@ -927,13 +933,22 @@ class ShardedHNSWIndex:
                 entry_point=jax.device_put(jnp.asarray(entry), spec()),
             )
             if kind in ("unified", "unified8", "unified4") and max_l > 0:
-                from hnsw_tpu.ops.pallas_gather import make_upper_tables
+                from hnsw_tpu.ops.pallas_gather import (
+                    make_upper_tables,
+                    upper_level_sizes_u,
+                )
 
                 out_sh = tuple(
                     (spec(None, None), spec(None)) for _ in range(max_l)
                 )
+                sizes = upper_level_sizes_u(
+                    rep["upper_slot"], rep["upper"].shape[2]
+                )
                 rep["upper_tabs"] = jax.jit(
-                    jax.vmap(make_upper_tables), out_shardings=out_sh
+                    jax.vmap(
+                        functools.partial(make_upper_tables, level_sizes=sizes)
+                    ),
+                    out_shardings=out_sh,
                 )(x, rep["upper"], rep["upper_slot"])
 
         self._arrays = _dc.replace(a, **rep)
