@@ -325,6 +325,26 @@ class HNSWIndex:
         return self._builder.size
 
     @property
+    def deleted_count(self) -> int:
+        """getDeletedCount analog (hnswalg.h:221-223)."""
+        return self._builder.num_deleted
+
+    @property
+    def max_elements(self) -> int:
+        """getMaxElements analog (hnswalg.h:213-215): allocated slot
+        capacity. Unlike hnswlib this index auto-grows past it."""
+        return self._builder.capacity
+
+    def get_items(self, labels) -> np.ndarray:
+        """getDataByLabel analog (hnswalg.h:826-851), batched: stored
+        (preprocessed) vectors for external labels. Raises KeyError for an
+        absent or delete-marked label like the reference's throws."""
+        labs = np.atleast_1d(np.asarray(labels, dtype=np.int64))
+        return np.stack(
+            [self._builder.get_data_by_label(int(l)) for l in labs]
+        )
+
+    @property
     def graph(self) -> HNSWGraph:
         return self._builder.export_graph()
 

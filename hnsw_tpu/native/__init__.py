@@ -115,9 +115,12 @@ def load_builder_lib() -> ctypes.CDLL:
         ("hnsw_m", c.c_int),
         ("hnsw_max_m0", c.c_int),
         ("hnsw_num_deleted", c.c_int64),
+        ("hnsw_capacity", c.c_int64),
     ]:
         getattr(lib, fn).argtypes = [c.c_void_p]
         getattr(lib, fn).restype = res
+    lib.hnsw_get_data_by_label.argtypes = [c.c_void_p, c.c_int64, P(c.c_float)]
+    lib.hnsw_get_data_by_label.restype = c.c_int
     lib.hnsw_export_level0.argtypes = [c.c_void_p, P(c.c_int32)]
     lib.hnsw_export_levels.argtypes = [c.c_void_p, P(c.c_int32)]
     lib.hnsw_export_labels.argtypes = [c.c_void_p, P(c.c_int64)]

@@ -917,6 +917,21 @@ int hnsw_unmark_deleted(HnswBuilder* b, int64_t label) {
 }
 
 int64_t hnsw_size(HnswBuilder* b) { return int64_t(b->n); }
+// getMaxElements analog (hnswalg.h:213-215). hnswlib preallocates a fixed
+// max_elements and addPoint throws past it; this builder auto-grows (the
+// resizeIndex analog is the incremental device sync), so "max elements"
+// is the currently allocated slot capacity — inserts beyond it just grow.
+int64_t hnsw_capacity(HnswBuilder* b) { return int64_t(b->labels.capacity()); }
+// getDataByLabel (hnswalg.h:826-851): O(1) hash lookup, fails (-1) on an
+// absent or delete-marked label exactly like the reference's throw paths.
+int hnsw_get_data_by_label(HnswBuilder* b, int64_t label, float* out) {
+  std::lock_guard<std::mutex> g(b->big_lock);
+  std::shared_lock<std::shared_mutex> sg(b->grow_lock);
+  auto it = b->label_to_id.find(label);
+  if (it == b->label_to_id.end() || b->del_get(it->second)) return -1;
+  std::memcpy(out, b->vec(it->second), b->dim * sizeof(float));
+  return 0;
+}
 int hnsw_max_level(HnswBuilder* b) { return b->max_level; }
 int hnsw_entry_point(HnswBuilder* b) { return b->entry_point; }
 int hnsw_dim(HnswBuilder* b) { return b->dim; }

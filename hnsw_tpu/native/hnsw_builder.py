@@ -189,6 +189,23 @@ class NativeHNSWBuilder:
     def num_deleted(self) -> int:
         return int(self.lib.hnsw_num_deleted(self._h))
 
+    @property
+    def capacity(self) -> int:
+        """getMaxElements analog (hnswalg.h:213-215): currently allocated
+        slot capacity. The builder auto-grows past it (the resizeIndex
+        analog is the incremental device sync), so this is informational,
+        not a hard limit."""
+        return int(self.lib.hnsw_capacity(self._h))
+
+    def get_data_by_label(self, label: int) -> np.ndarray:
+        """getDataByLabel (hnswalg.h:826-851): stored vector for an external
+        label; raises KeyError on an absent or delete-marked label, matching
+        the reference's throw paths."""
+        out = np.empty(self.dim, dtype=np.float32)
+        if self.lib.hnsw_get_data_by_label(self._h, int(label), _ptr(out, _F32P)):
+            raise KeyError(f"label {label} not found or marked deleted")
+        return out
+
     # -- incremental sync (dirty-row deltas; resizeIndex analog) -------------
 
     @property

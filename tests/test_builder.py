@@ -93,3 +93,31 @@ def test_level_distribution():
     # P(level >= 1) = exp(-ln M) = 1/16 ≈ 0.0625
     assert 0.03 < frac_upper < 0.10, frac_upper
     assert g.max_level >= 1
+
+
+def test_accessors_get_data_by_label(small_index):
+    """getDataByLabel / getMaxElements / getDeletedCount analogs
+    (hnswalg.h:826-851, 213-223)."""
+    b, x = small_index
+    v = b.get_data_by_label(123)
+    np.testing.assert_allclose(v, x[123], rtol=1e-6)
+    assert b.capacity >= b.size
+    with pytest.raises(KeyError):
+        b.get_data_by_label(777_777)
+
+
+def test_index_level_accessors():
+    from hnsw_tpu.models.hnsw import HNSWIndex
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(300, 16)).astype(np.float32)
+    idx = HNSWIndex("l2", dim=16, m=8, ef_construction=60)
+    idx.add_items(x, np.arange(100, 400))
+    got = idx.get_items([100, 250, 399])
+    np.testing.assert_allclose(got, x[[0, 150, 299]], rtol=1e-6)
+    assert idx.max_elements >= idx.num_elements == 300
+    assert idx.deleted_count == 0
+    idx.mark_deleted(250)
+    assert idx.deleted_count == 1
+    with pytest.raises(KeyError):
+        idx.get_items([250])  # delete-marked, matches the reference throw
