@@ -144,30 +144,36 @@ def main():
     # here). Probe once and sweep caps from the tail of the LAST-IMPROVEMENT
     # distribution (what calibrate_speed_mode uses): iterations past a
     # query's last top-k improvement are provably wasted lockstep time.
-    def probe():
+    def probe(probe_k=k, probe_ef=ef):
         r = search_batch(
-            vectors, dg, qd, k=k, ef=ef, space="l2", sq_norms=sq,
+            vectors, dg, qd, k=probe_k, ef=probe_ef, space="l2", sq_norms=sq,
             **inline_search_kwargs(nbr_vec), expand=2, stop_frontier=1.15,
             collect_metrics=True,
         )
         r.dists.block_until_ready()
         return np.asarray(r.hops), np.asarray(r.last_improve)
 
-    hops, last = device_retry(probe, attempts=5, base_sleep=15, log=print)
-    print(
-        f"frontier-1.15 hops: p99={int(np.percentile(hops, 99))} "
-        f"max={int(hops.max())}; last-improve: "
-        f"p95={int(np.percentile(last, 95))} "
-        f"p99={int(np.percentile(last, 99))} "
-        f"p99.9={int(np.percentile(last, 99.9))} max={int(last.max())}",
-        flush=True,
-    )
-    caps = {
-        int(np.percentile(hops, 99)),
-        int(np.percentile(last, 99.9)) + 2,
-        int(np.percentile(last, 99)) + 2,
-        int(np.percentile(last, 95)) + 2,
-    }
+    def tail_caps(tag, probe_k=k, probe_ef=ef):
+        hops, last = device_retry(
+            lambda: probe(probe_k, probe_ef), attempts=5, base_sleep=15,
+            log=print,
+        )
+        print(
+            f"[{tag}] frontier-1.15 hops: p99={int(np.percentile(hops, 99))} "
+            f"max={int(hops.max())}; last-improve: "
+            f"p95={int(np.percentile(last, 95))} "
+            f"p99={int(np.percentile(last, 99))} "
+            f"p99.9={int(np.percentile(last, 99.9))} max={int(last.max())}",
+            flush=True,
+        )
+        return {
+            int(np.percentile(hops, 99)),
+            int(np.percentile(last, 99.9)) + 2,
+            int(np.percentile(last, 99)) + 2,
+            int(np.percentile(last, 95)) + 2,
+        }
+
+    caps = tail_caps("ef200")
     budget_modes = [
         measure(f"rescore40 + f1.15 + budget {cap}", rescore_m=40,
                 stop_frontier=1.15, max_iters=cap)
@@ -183,6 +189,31 @@ def main():
         key=lambda r: r["qps"],
         default=rs,
     )
+
+    # High-recall speed mode: calibrate a lockstep hop budget for the
+    # wide-beam recovery mode too — the ef=320 straggler tail is even longer
+    # than ef=200's, so the last-improve cap pays at least as much there.
+    # The probe tracks improvement of the rescore window's k-th best
+    # (k=rescore_m), not the final k, so capped iterations can't starve
+    # the exact re-rank of candidates.
+    if cap_mode is not rs:
+        wcaps = tail_caps("ef320", probe_k=160, probe_ef=320)
+        wide_budget_modes = [
+            measure(
+                f"ef320 + rescore160 + f1.15 + budget {cap}",
+                rescore_m=160, ef=320, stop_frontier=1.15, max_iters=cap,
+            )
+            for cap in sorted((max(c, 8) for c in wcaps), reverse=True)
+        ]
+        results.extend(wide_budget_modes)
+        wide_speed = max(
+            (r for r in wide_budget_modes
+             if r["recall_at_10"] >= cap_mode["recall_at_10"] - 0.005),
+            key=lambda r: r["qps"],
+            default=cap_mode,
+        )
+        if wide_speed["recall_at_10"] >= 0.97:
+            cap_mode = wide_speed
 
     # single-core CPU baseline on the same graph
     t0 = time.time()
