@@ -335,6 +335,26 @@ class HNSWIndex:
         capacity. Unlike hnswlib this index auto-grows past it."""
         return self._builder.capacity
 
+    @property
+    def index_file_size(self) -> int:
+        """indexFileSize analog (hnswalg.h:658-683): byte size of the
+        hnswlib binary save an equivalent index would produce (header +
+        per-element level-0 block + upper linklists). This framework's own
+        checkpoint is npz (`save`), so this is a capacity-planning figure,
+        not the size of `save()` output."""
+        return self._builder.index_file_size
+
+    def clear(self) -> None:
+        """clear() analog (hnswalg.h:149-161): drop all index content and
+        device state, keeping the configuration. Unlike the reference (which
+        frees storage for teardown), the index stays usable for new
+        inserts."""
+        self._builder.clear()
+        self._device = None
+        self._dirty = True
+        self._dirty_deleted = False
+        self._synced_n = 0
+
     def get_items(self, labels) -> np.ndarray:
         """getDataByLabel analog (hnswalg.h:826-851), batched: stored
         (preprocessed) vectors for external labels. Raises KeyError for an

@@ -116,9 +116,11 @@ def load_builder_lib() -> ctypes.CDLL:
         ("hnsw_max_m0", c.c_int),
         ("hnsw_num_deleted", c.c_int64),
         ("hnsw_capacity", c.c_int64),
+        ("hnsw_index_file_size", c.c_int64),
     ]:
         getattr(lib, fn).argtypes = [c.c_void_p]
         getattr(lib, fn).restype = res
+    lib.hnsw_clear.argtypes = [c.c_void_p]
     lib.hnsw_get_data_by_label.argtypes = [c.c_void_p, c.c_int64, P(c.c_float)]
     lib.hnsw_get_data_by_label.restype = c.c_int
     lib.hnsw_export_level0.argtypes = [c.c_void_p, P(c.c_int32)]

@@ -922,6 +922,64 @@ int64_t hnsw_size(HnswBuilder* b) { return int64_t(b->n); }
 // resizeIndex analog is the incremental device sync), so "max elements"
 // is the currently allocated slot capacity — inserts beyond it just grow.
 int64_t hnsw_capacity(HnswBuilder* b) { return int64_t(b->labels.capacity()); }
+// clear() analog (hnswalg.h:149-161): drop all index content. The reference
+// frees storage and zeroes cur_element_count (the handle is dead until a
+// re-init); this engine resets its arrays so the same handle is immediately
+// reusable for new inserts with the original config.
+void hnsw_clear(HnswBuilder* b) {
+  HnswBuilder::WriterScope ws(b);
+  std::lock_guard<std::mutex> g(b->big_lock);
+  std::unique_lock<std::shared_mutex> gg(b->grow_lock);
+  b->n = 0;
+  b->data.clear();
+  b->labels.clear();
+  b->node_level.clear();
+  b->deleted.clear();
+  b->links0.clear();
+  b->cnt0.clear();
+  b->links_upper.clear();
+  b->cnt_upper.clear();
+  b->entry_point = -1;
+  b->max_level = -1;
+  b->label_to_id.clear();
+  b->num_deleted = 0;
+  b->deleted_ids.clear();
+  {
+    std::lock_guard<std::mutex> gd(b->dirty_mutex);
+    b->dirty0.clear();
+    b->dirty_list.clear();
+    b->vec_dirty0.clear();
+    b->vec_dirty_list.clear();
+  }
+  b->upper_dirty = true;
+  b->full_dirty = true;  // any device state is now stale
+}
+// indexFileSize analog (hnswalg.h:658-683): byte size of the hnswlib binary
+// save an EQUIVALENT index would produce (header PODs + per-element level-0
+// block + per-node upper linklists, saveIndex layout hnswalg.h:685-713).
+// Reported for capacity-planning parity; this framework's own checkpoint
+// format is npz (io/checkpoint.py).
+int64_t hnsw_index_file_size(HnswBuilder* b) {
+  std::lock_guard<std::mutex> g(b->big_lock);
+  std::shared_lock<std::shared_mutex> sg(b->grow_lock);
+  // hnswlib header: 10 size_t fields (offsetLevel0, max_elements,
+  // cur_element_count, size_data_per_element, label_offset, offsetData,
+  // maxM, maxM0, M, ef_construction) + int maxlevel + u32 entrypoint +
+  // double mult.
+  size_t size = 10 * sizeof(uint64_t) + sizeof(int32_t) + sizeof(uint32_t) +
+                sizeof(double);
+  // per element: level-0 links block (u32 count word + maxM0 ids), vector
+  // bytes, label (hnswalg.h:120-124).
+  size_t per_elem = (size_t(b->maxM0) * 4 + 4) + size_t(b->dim) * 4 + 8;
+  size += b->n * per_elem;
+  // per node: u32 upper-list byte length + level * (M ids + count word)
+  size_t per_level = size_t(b->M) * 4 + 4;
+  for (size_t i = 0; i < b->n; ++i) {
+    size += 4;
+    if (b->node_level[i] > 0) size += per_level * size_t(b->node_level[i]);
+  }
+  return int64_t(size);
+}
 // getDataByLabel (hnswalg.h:826-851): O(1) hash lookup, fails (-1) on an
 // absent or delete-marked label exactly like the reference's throw paths.
 int hnsw_get_data_by_label(HnswBuilder* b, int64_t label, float* out) {

@@ -163,6 +163,11 @@ class NativeHNSWBuilder:
         v = np.ascontiguousarray(vec, dtype=np.float32).reshape(self.dim)
         return bool(self.lib.hnsw_add_replace(self._h, _ptr(v, _F32P), label))
 
+    def clear(self) -> None:
+        """clear() analog (hnswalg.h:149-161): drop all index content,
+        keeping the configuration; the builder is immediately reusable."""
+        self.lib.hnsw_clear(self._h)
+
     def mark_deleted(self, label: int) -> None:
         if self.lib.hnsw_mark_deleted(self._h, label) != 0:
             raise KeyError(f"label {label} not in index")
@@ -196,6 +201,12 @@ class NativeHNSWBuilder:
         analog is the incremental device sync), so this is informational,
         not a hard limit."""
         return int(self.lib.hnsw_capacity(self._h))
+
+    @property
+    def index_file_size(self) -> int:
+        """indexFileSize analog (hnswalg.h:658-683): byte size of the
+        hnswlib binary save an equivalent index would produce."""
+        return int(self.lib.hnsw_index_file_size(self._h))
 
     def get_data_by_label(self, label: int) -> np.ndarray:
         """getDataByLabel (hnswalg.h:826-851): stored vector for an external

@@ -121,3 +121,37 @@ def test_index_level_accessors():
     assert idx.deleted_count == 1
     with pytest.raises(KeyError):
         idx.get_items([250])  # delete-marked, matches the reference throw
+
+
+def test_clear_and_index_file_size():
+    """clear() / indexFileSize() analogs (hnswalg.h:149-161, 658-683)."""
+    from hnsw_tpu.models.hnsw import HNSWIndex
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(400, 16)).astype(np.float32)
+    idx = HNSWIndex("l2", dim=16, m=8, ef_construction=60)
+    idx.add_items(x)
+    # file-size formula: header + n * (level0 block + vector + label) +
+    # per-node upper lists — must grow with n and match the closed form
+    # for the level-0-only part.
+    sz = idx.index_file_size
+    g = idx.graph
+    per_elem = (2 * 8 * 4 + 4) + 16 * 4 + 8
+    header = 10 * 8 + 4 + 4 + 8
+    upper = sum(
+        4 + (8 * 4 + 4) * int(l) if l > 0 else 4 for l in g.node_level
+    )
+    assert sz == header + 400 * per_elem + upper
+
+    d0, l0 = idx.search(x[:8], k=5, ef=50)
+    assert (np.asarray(l0)[:, 0] == np.arange(8)).all()
+
+    idx.clear()
+    assert idx.num_elements == 0
+    assert idx.deleted_count == 0
+    assert idx.index_file_size == header
+    # the same handle rebuilds cleanly after clear
+    idx.add_items(x[:200])
+    assert idx.num_elements == 200
+    d1, l1 = idx.search(x[:8], k=5, ef=50)
+    assert (np.asarray(l1)[:, 0] == np.arange(8)).all()
