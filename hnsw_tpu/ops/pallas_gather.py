@@ -921,6 +921,16 @@ def gather_dist_pallas(
     b, d = q.shape
     k = ids.shape[1]
     assert b % tb == 0, f"batch {b} must be divisible by tile {tb}"
+    if d % 128:
+        # Mosaic row DMAs need 128-aligned lane widths (a [1, d] slice of a
+        # lane-tiled table is rejected for d % 128 != 0, e.g. Deep-style
+        # d=96). Zero lanes change neither L2 nor IP distances, and the
+        # [N, d_pad] pad copy is a streaming write (~1ms/GB) — noise next
+        # to the gather it feeds.
+        d_pad = -(-d // 128) * 128
+        q = jnp.pad(q, ((0, 0), (0, d_pad - d)))
+        table = jnp.pad(table, ((0, 0), (0, d_pad - d)))
+        d = d_pad
     # The ids prefetch lives in scoped SMEM (1MB) and lane-pads each row to
     # a multiple of 128 i32: B=2048, K=40 is exactly 1.00M and overflows
     # once spill slots land. Slice the batch to keep the operand <=512KB.
