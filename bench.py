@@ -122,32 +122,50 @@ def main():
     dg, vectors, sq, _, labels_np, nbr_vec = idx._sync_device()
     qd = jnp.asarray(q)
 
-    # Headline runs the adaptive-termination speed mode: stop_frontier stops
-    # a query once its best unexpanded beam entry is farther than c x its
-    # k-th best distance (the lower_bound-vs-candidate cut), and max_iters
-    # caps the LOCKSTEP iteration count. The batch traverses in lockstep, so
-    # batch time = the slowest query's iterations — one straggler out of 8192
-    # sets the wall clock. The frontier stop leaves a max-hop tail (p99=36
-    # but max=43 iterations here); a hard hop budget near the tail of the
-    # LAST-IMPROVEMENT distribution (the last iteration each query's k-th
-    # best distance improved — what calibrate_speed_mode probes) cuts it at
-    # negligible recall cost because late iterations almost never improve
-    # the top-k. Measured on v5e at this operating point (round-3 budget
-    # sweep, exhaustive 0.9890 @ 42.6k qps): budget 24 -> 168.1k @ 0.9889,
-    # 22 -> 180.5k @ 0.9888, 20 -> 194.0k @ 0.9886, 18 -> 209.5k @ 0.9883,
-    # 16 -> 224.8k @ 0.9876. Budget 20 keeps recall within 0.0004 of the
-    # exhaustive beam (~4.6x its qps); batch 16384 measured SLOWER than
-    # 8192 (186.6k at budget 20) — 8192 stays the operating point.
+    # Headline runs the adaptive-termination speed mode with LANDMARK-SEEDED
+    # entry: one MXU matmul over the upper-level nodes (the graph's own 1/M
+    # sample, ~6.1k landmarks here) replaces the greedy descent and starts
+    # the beam at the exact top-S landmarks — an exact argmin where the
+    # descent is approximate, so the level-0 loop converges sooner.
+    # stop_frontier stops a query once its best unexpanded beam entry is
+    # farther than c x its k-th best distance (the lower_bound-vs-candidate
+    # cut), and max_iters caps the LOCKSTEP iteration count (batch time =
+    # the slowest query's iterations — one straggler out of 8192 sets the
+    # wall clock; the budget sits at the last-improvement tail, which
+    # seeding shifts left: p99 17 -> 13, max 34 -> 27). Measured on v5e at
+    # this operating point (res/seed_exp.json; exhaustive beam 0.9890 @
+    # 42.8k qps, seeded exhaustive 0.9892 @ 44.5k): descent budget 19 ->
+    # 195.8k @ 0.9884; seeds-4 budget 21 -> 208.7k @ 0.9891, 15 -> 272.0k @
+    # 0.9887, 14 -> 285.2k @ 0.9886 (the old descent headline's recall
+    # exactly), 13 -> 304.2k @ 0.9884, 12 -> 322.4k @ 0.9879. Budget 14 +
+    # seeds 4 keeps recall within 0.0004 of the exhaustive beam at ~6.7x
+    # its qps; batch 16384 measured SLOWER than 8192 — 8192 stays the
+    # operating point.
     STOP_FRONTIER = 1.15
-    MAX_ITERS = 20
+    MAX_ITERS = 14
+    ENTRY_SEEDS = 4
 
-    def run(queries, stop_frontier=STOP_FRONTIER, max_iters=MAX_ITERS):
+    from hnsw_tpu.ops.topk import bruteforce_topk
+
+    lv, li, lsq = idx._landmark_arrays(dg, vectors, sq)
+
+    def run(queries, stop_frontier=STOP_FRONTIER, max_iters=MAX_ITERS,
+            entry_seeds=ENTRY_SEEDS):
+        seed_kwargs = {}
+        if entry_seeds:
+            sd, si = bruteforce_topk(
+                queries, lv, entry_seeds, "l2", x_sq_norms=lsq
+            )
+            seed_kwargs = {
+                "seed_ids": jnp.take(li, si, axis=0), "seed_dists": sd,
+            }
         res = search_batch(
             vectors, dg, queries, k=K, ef=EF, space="l2", sq_norms=sq,
             **inline_search_kwargs(nbr_vec),
             expand=EXPAND,
             stop_frontier=stop_frontier,
             max_iters=max_iters,
+            **seed_kwargs,
         )
         return res.dists, res.ids
 
@@ -182,11 +200,11 @@ def main():
     log(f"TPU: {qps:.0f} qps (batch={BATCH}, {dt/N_QUERY_BATCHES*1000:.1f} ms/batch)")
 
     # exhaustive mode (no early termination) for the detail record
-    d, ids_x = run(qd, stop_frontier=0.0, max_iters=0)
+    d, ids_x = run(qd, stop_frontier=0.0, max_iters=0, entry_seeds=0)
     d.block_until_ready()
     t0 = time.time()
     for _ in range(N_QUERY_BATCHES):
-        d, ids_x = run(qd, stop_frontier=0.0, max_iters=0)
+        d, ids_x = run(qd, stop_frontier=0.0, max_iters=0, entry_seeds=0)
     d.block_until_ready()
     qps_exh = BATCH * N_QUERY_BATCHES / (time.time() - t0)
     log(f"TPU exhaustive: {qps_exh:.0f} qps")

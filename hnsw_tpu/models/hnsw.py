@@ -174,6 +174,24 @@ def _rescore_topk(q, x, ids, dists, *, k, m, space, interpret):
     return dk, idk
 
 
+def landmark_arrays(dg, x, sq):
+    """(vectors, ids, sq_norms) of every upper-level node — the graph's own
+    1/M sample of the dataset, used as the landmark set of the seeded entry
+    mode (SearchParams.entry_seeds). None when the graph has no upper
+    levels."""
+    if dg.max_level == 0:
+        return None
+    u_pad = dg.upper.shape[1]
+    slot0 = np.asarray(dg.upper_slot[0])
+    ids = np.where(slot0 < u_pad - 1)[0].astype(np.int32)
+    if not len(ids):
+        return None
+    li = jnp.asarray(ids)
+    lv = jnp.take(x, li, axis=0)
+    lsq = None if sq is None else jnp.take(sq, li, axis=0)
+    return lv, li, lsq
+
+
 def inline_search_kwargs(nbr_vec) -> dict:
     """search_batch kwargs for a tagged inline-table tuple:
     ("unified", table, upper_tables) | ("unified8", table, upper_tables) |
@@ -221,6 +239,13 @@ class SearchParams:
     # hnswlib/hnswlib.h:134-150): StopView -> [B] bool, OR-ed with the
     # patience rule. Must be a hashable (module-level) callable.
     stop_fn: object = None
+    # >0: landmark-seeded entry — ONE MXU matmul against all upper-level
+    # nodes (the natural 1/M landmark sample) replaces the greedy descent,
+    # and the beam starts at the best `entry_seeds` landmarks. The matmul
+    # is an EXACT argmin over the landmark set where the descent is
+    # approximate, and a multi-seed start shortens the level-0
+    # last-improvement tail that sets the lockstep batch time.
+    entry_seeds: int = 0
 
 
 class HNSWIndex:
@@ -679,6 +704,22 @@ class HNSWIndex:
         # must RETURN that many — asking for k and rescoring "the top 4k"
         # would silently re-rank only k candidates
         k_search = max(params.k, m_res) if m_res >= params.k else params.k
+        seed_kwargs = {}
+        if params.entry_seeds > 0 and entry_ids is None and dg.max_level > 0:
+            lm = self._landmark_arrays(dg, x, sq)
+            if lm is not None:
+                from hnsw_tpu.ops.topk import bruteforce_topk
+
+                lv, li, lsq = lm
+                s = min(params.entry_seeds, int(li.shape[0]),
+                        max(params.ef, k_search))
+                sd, si = bruteforce_topk(
+                    q, lv, s, self.space.name, x_sq_norms=lsq
+                )
+                seed_kwargs = {
+                    "seed_ids": jnp.take(li, si, axis=0),
+                    "seed_dists": sd,
+                }
         res = search_batch(
             x,
             dg,
@@ -704,6 +745,7 @@ class HNSWIndex:
             stop_patience=params.stop_patience,
             stop_frontier=params.stop_frontier,
             stop_fn=params.stop_fn,
+            **seed_kwargs,
         )
         if m_res >= params.k and m_res > 0:
             rd, ri = _rescore_topk(
@@ -734,6 +776,18 @@ class HNSWIndex:
         )
         return dists, labels
 
+    def _landmark_arrays(self, dg, x, sq):
+        """Device arrays for the landmark-seeded entry mode
+        (SearchParams.entry_seeds), cached per device-sync generation (any
+        row delta or full sync replaces self._device, invalidating the
+        cache)."""
+        cache = getattr(self, "_landmark_cache", None)
+        if cache is not None and cache[0] is self._device:
+            return cache[1]
+        lm = landmark_arrays(dg, x, sq)
+        self._landmark_cache = (self._device, lm)
+        return lm
+
     def calibrate_speed_mode(
         self,
         queries: np.ndarray | None = None,
@@ -746,6 +800,7 @@ class HNSWIndex:
         margin: int = 2,
         sample: int = 2048,
         seed: int = 0,
+        entry_seeds: int = 0,
     ) -> SearchParams:
         """Auto-tune the adaptive-termination speed mode for THIS index and
         operating point, returning a ready `SearchParams` (also stored as
@@ -778,6 +833,7 @@ class HNSWIndex:
         probe = SearchParams(
             k=k, ef=max(ef, k), expand=expand,
             stop_frontier=stop_frontier, collect_metrics=True,
+            entry_seeds=entry_seeds,
         )
         self.search(queries, params=probe)
         last = np.asarray(self.last_metrics.last_improve)
@@ -789,6 +845,7 @@ class HNSWIndex:
         self.speed_params = SearchParams(
             k=k, ef=max(ef, k), expand=expand,
             stop_frontier=stop_frontier, max_iters=cap,
+            entry_seeds=entry_seeds,
         )
         return self.speed_params
 

@@ -254,6 +254,13 @@ def search_batch(
     sq_norms: Array | None = None,
     eligible: Array | None = None,  # [N_pad] bool; None => all eligible
     entry_ids: Array | None = None,  # [B] int32 per-query entry override
+    seed_ids: Array | None = None,  # [B, S] int32 multi-seed beam init:
+    #   skip the upper-layer descent and start the beam at these ids (must
+    #   be DISTINCT per query; dists ascending). The landmark-seeding entry
+    #   mode (HNSWIndex SearchParams.entry_seeds) computes these with one
+    #   MXU matmul against all upper-level nodes — an exact argmin over the
+    #   1/M-sampled landmark set, where the greedy descent is approximate.
+    seed_dists: Array | None = None,  # [B, S] f32 distances for seed_ids
     nbr_vectors: Array | None = None,  # [N_pad, maxM0, D] inline table (fast path)
     level0_tiles: Array | None = None,  # [N_pad/32, 8, 128] tiled adjacency
     unified_table: Array | None = None,  # [N_pad, S_row, 128] unified node blocks
@@ -309,6 +316,43 @@ def search_batch(
         eligible = jnp.ones((1,), dtype=bool)  # placeholder, unused
 
     # ---- entry ------------------------------------------------------------
+    if seed_ids is not None:
+        # Multi-seed init: the beam starts at the caller's seeds (sorted in
+        # by a bitonic merge against an empty beam) and the upper-layer
+        # descent is skipped entirely — the seeds already are the best
+        # entry candidates (see SearchParams.entry_seeds).
+        sid = seed_ids.astype(jnp.int32)
+        s_ok = (sid >= 0) & (sid < num_nodes)
+        sid = jnp.where(s_ok, sid, sent)
+        sd = jnp.where(s_ok, seed_dists, _INF)
+        beam_d = jnp.full((b, ef), _INF)
+        beam_key = jnp.full((b, ef), sent * 2, dtype=jnp.int32)
+        beam_d, beam_key = _bitonic_merge_topk(
+            beam_d, beam_key, sd, sid * 2, ef, sent * 2
+        )
+        res_d = jnp.full((b, ef), _INF)
+        res_id = jnp.full((b, ef), sent, dtype=jnp.int32)
+        if use_mask:
+            e_ok = jnp.take(eligible, sid, axis=0) & (sd < _INF)
+            res_d, res_id = _bitonic_merge_topk(
+                res_d,
+                res_id,
+                jnp.where(e_ok, sd, _INF),
+                jnp.where(e_ok, sid, sent),
+                ef,
+                sent,
+            )
+        return _beam_level0(
+            q, graph, beam_d, beam_key, res_d, res_id, vectors, sq_norms,
+            eligible, nbr_vectors, level0_tiles, unified_table,
+            k=k, ef=ef, space=space, expand=expand, max_iters=max_iters,
+            hist_len=hist_len, collect_metrics=collect_metrics,
+            use_mask=use_mask, interpret=interpret, tb=tb, nbuf=nbuf,
+            unified_int8=unified_int8, unified_int4=unified_int4,
+            stop_patience=stop_patience, stop_frontier=stop_frontier,
+            stop_fn=stop_fn,
+        )
+
     ep = jnp.broadcast_to(graph.entry_point, (b,)).astype(jnp.int32)
     if entry_ids is None:
         cur = ep
@@ -366,14 +410,42 @@ def search_batch(
     beam_d = beam_d.at[:, 0].set(cur_d)
     beam_key = beam_key.at[:, 0].set(cur * 2)
 
-    hist = jnp.full((b, hist_len), sent, dtype=jnp.int32)
-
     res_d = jnp.full((b, ef), _INF)
     res_id = jnp.full((b, ef), sent, dtype=jnp.int32)
     if use_mask:
         e_ok = jnp.take(eligible, cur, axis=0) & (cur_d < _INF)
         res_d = res_d.at[:, 0].set(jnp.where(e_ok, cur_d, _INF))
         res_id = res_id.at[:, 0].set(jnp.where(e_ok, cur, sent))
+
+    return _beam_level0(
+        q, graph, beam_d, beam_key, res_d, res_id, vectors, sq_norms,
+        eligible, nbr_vectors, level0_tiles, unified_table,
+        k=k, ef=ef, space=space, expand=expand, max_iters=max_iters,
+        hist_len=hist_len, collect_metrics=collect_metrics,
+        use_mask=use_mask, interpret=interpret, tb=tb, nbuf=nbuf,
+        unified_int8=unified_int8, unified_int4=unified_int4,
+        stop_patience=stop_patience, stop_frontier=stop_frontier,
+        stop_fn=stop_fn,
+    )
+
+
+def _beam_level0(
+    q, graph, beam_d, beam_key, res_d, res_id, vectors, sq_norms, eligible,
+    nbr_vectors, level0_tiles, unified_table, *, k, ef, space, expand,
+    max_iters, hist_len, collect_metrics, use_mask, interpret, tb, nbuf,
+    unified_int8, unified_int4, stop_patience, stop_frontier, stop_fn,
+) -> SearchResults:
+    """The fixed-ef masked beam loop over level 0 (reference:
+    searchBaseLayerST, hnswalg.h:311-440), starting from an initialized
+    (sorted) beam — one seed from the greedy descent in the classic path,
+    S landmark seeds in the entry_seeds path."""
+    b = q.shape[0]
+    n_pad, max_m0 = graph.level0.shape
+    em = expand * max_m0
+    num_nodes = graph.num_nodes
+    sent = n_pad - 1
+
+    hist = jnp.full((b, hist_len), sent, dtype=jnp.int32)
 
     iota_ef = jax.lax.broadcasted_iota(jnp.int32, (b, ef), 1)
 

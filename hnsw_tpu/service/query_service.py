@@ -50,7 +50,7 @@ class _Engine:
     def __init__(self, vectors_np, graph, space, default_ef, default_k, mode,
                  storage=None, deleted=None, stop_frontier=0.0,
                  stop_patience=0, rescore=None, max_iters=0,
-                 auto_speed=0.0):
+                 auto_speed=0.0, entry_seeds=0):
         import jax
         import jax.numpy as jnp
 
@@ -98,6 +98,14 @@ class _Engine:
             elig[: len(deleted)] = ~np.asarray(deleted, dtype=bool)
             self.eligible = jnp.asarray(elig)
         self.interpret = jax.default_backend() != "tpu"
+        # landmark-seeded entry (SearchParams.entry_seeds analog): one MXU
+        # matmul over the upper-level nodes replaces the greedy descent
+        self.entry_seeds = int(entry_seeds)
+        self._lm = None
+        if self.entry_seeds > 0:
+            from hnsw_tpu.models.hnsw import landmark_arrays
+
+            self._lm = landmark_arrays(self.dg, self.x, self.sq)
         if auto_speed:
             self._calibrate(float(auto_speed))
 
@@ -132,12 +140,29 @@ class _Engine:
             expand=2, eligible=self.eligible,
             has_mask=self.eligible is not None, interpret=self.interpret,
             stop_frontier=self.stop_frontier, collect_metrics=True,
+            **self._seed_kwargs(
+                q, self.default_k, max(self.default_ef, self.default_k)
+            ),
         )
         last = np.asarray(res.last_improve)
         cap = int(np.percentile(last, percentile)) + int(margin)
         default_cap = 2 * max(self.default_ef, self.default_k) + 16
         if not self.max_iters and cap < default_cap:
             self.max_iters = cap
+
+    def _seed_kwargs(self, q, k, ef):
+        """seed_ids/seed_dists for the landmark-seeded entry mode (empty
+        dict when off or no landmarks)."""
+        if self.entry_seeds <= 0 or self._lm is None:
+            return {}
+        import jax.numpy as jnp
+
+        from hnsw_tpu.ops.topk import bruteforce_topk
+
+        lv, li, lsq = self._lm
+        s = min(self.entry_seeds, int(li.shape[0]), max(ef, k))
+        sd, si = bruteforce_topk(q, lv, s, self.space, x_sq_norms=lsq)
+        return {"seed_ids": jnp.take(li, si, axis=0), "seed_dists": sd}
 
     def search(self, queries: np.ndarray, k: int, ef: int, entry_ids=None):
         import jax.numpy as jnp
@@ -163,10 +188,14 @@ class _Engine:
             m_res = 4 * k if kind in ("unified8", "unified4") else 0
         m_res = min(int(m_res), max(ef, k))
         k_search = max(k, m_res) if m_res >= k else k
+        qd = jnp.asarray(q)
+        seed_kwargs = {} if ent is not None else self._seed_kwargs(
+            qd, k_search, max(ef, k_search)
+        )
         res = search_batch(
             self.x,
             self.dg,
-            jnp.asarray(q),
+            qd,
             k=k_search,
             ef=max(ef, k_search),
             space=self.space,
@@ -180,6 +209,7 @@ class _Engine:
             stop_frontier=self.stop_frontier,
             stop_patience=self.stop_patience,
             max_iters=self.max_iters,
+            **seed_kwargs,
         )
         if m_res >= k and m_res > 0:
             from hnsw_tpu.models.hnsw import _rescore_topk
@@ -333,10 +363,12 @@ def build_engine(
     rescore: int | None = None,
     max_iters: int = 0,
     auto_speed: float = 0.0,
+    entry_seeds: int = 0,
 ) -> _Engine:
     speed = dict(
         stop_frontier=stop_frontier, stop_patience=stop_patience,
         rescore=rescore, max_iters=max_iters, auto_speed=auto_speed,
+        entry_seeds=entry_seeds,
     )
     if not optimized:
         from hnsw_tpu.io.checkpoint import load_checkpoint
@@ -478,13 +510,16 @@ def main():
     # probing the frontier-stopped hop distribution on stored vectors and
     # capping the lockstep hop budget there (no hand tuning needed)
     ap.add_argument("--auto_speed", type=float, default=0.0)
+    # >0: landmark-seeded entry — start the beam at the best S upper-level
+    # nodes (one MXU matmul) instead of the greedy descent
+    ap.add_argument("--entry_seeds", type=int, default=0)
     args = ap.parse_args()
     optimized = args.optimized in ("1", "true", "True")
     engine = build_engine(
         args.graph, optimized, args.storage, args.dim, args.ef, args.k,
         stop_frontier=args.stop_frontier, stop_patience=args.stop_patience,
         rescore=args.rescore, max_iters=args.max_iters,
-        auto_speed=args.auto_speed,
+        auto_speed=args.auto_speed, entry_seeds=args.entry_seeds,
     )
     # all hot state now lives in device HBM; return the build-time host
     # buffers (checkpoint arrays / bulk-fetch staging) to the OS so the

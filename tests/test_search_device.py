@@ -110,3 +110,32 @@ def test_ip_space_recall(rng):
     _, gt = oracle.search_knn(q, 10)
     _, labels = idx.search(q, k=10, ef=100)
     assert _recall(labels, gt) >= 0.9
+
+
+def test_entry_seeds_landmark_mode(built):
+    """Landmark-seeded entry (SearchParams.entry_seeds): one MXU matmul
+    against all upper-level nodes replaces the greedy descent. The seed set
+    contains an exact argmin over the landmarks, so recall must match the
+    descent path; output stays sorted; filters still apply."""
+    idx, x, q, gt = built
+    d0, l0 = idx.search(q, k=10, ef=100)
+    d1, l1 = idx.search(q, k=10, ef=100, params=SearchParams(
+        k=10, ef=100, entry_seeds=4))
+    r0, r1 = _recall(l0, gt), _recall(l1, gt)
+    assert r1 >= r0 - 0.01, f"seeded {r1} vs descent {r0}"
+    assert np.all(np.diff(d1, axis=1) >= -1e-6)
+    # no duplicate results per row
+    for row in l1:
+        v = row[row >= 0]
+        assert len(set(v)) == len(v)
+    # filtered search through the seeded path (seeds may be ineligible:
+    # they must still work as waypoints, not results)
+    mask = np.zeros(N, dtype=bool)
+    mask[::2] = True
+    _, lf = idx.search(q, k=10, ef=100, filter_labels=mask,
+                       params=SearchParams(k=10, ef=100, entry_seeds=4))
+    assert all(v % 2 == 0 for v in lf.ravel() if v >= 0)
+    # speed-mode knobs compose with seeding
+    _, ls = idx.search(q, k=10, ef=100, params=SearchParams(
+        k=10, ef=100, entry_seeds=8, stop_frontier=1.15, max_iters=40))
+    assert _recall(ls, gt) >= r0 - 0.02

@@ -285,3 +285,35 @@ def test_engine_auto_speed_calibration(tmp_path):
     )
     assert overlap >= 0.9, overlap
     assert (l_auto[:, 0] == np.arange(32)).mean() >= 0.95
+
+
+def test_engine_entry_seeds(tmp_path):
+    """--entry_seeds S: landmark-seeded entry (one MXU matmul over the
+    upper-level nodes replaces the greedy descent) must keep result
+    quality, compose with auto_speed calibration, and honor an explicit
+    per-request entry override (which bypasses seeding)."""
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=100)
+    idx.add_items(x)
+    ckpt = str(tmp_path / "seeds.npz")
+    idx.save(ckpt)
+
+    from hnsw_tpu.service import query_service
+
+    plain = query_service.build_engine(ckpt, False, "", DIM, 64, 10)
+    seeded = query_service.build_engine(
+        ckpt, False, "", DIM, 64, 10, entry_seeds=4, auto_speed=99.9,
+    )
+    assert seeded._lm is not None
+    q = x[:32]
+    _, l_plain = plain.search(q, k=10, ef=64)
+    _, l_seed = seeded.search(q, k=10, ef=64)
+    overlap = np.mean(
+        [len(set(l_plain[i]) & set(l_seed[i])) / 10 for i in range(32)]
+    )
+    assert overlap >= 0.9, overlap
+    assert (l_seed[:, 0] == np.arange(32)).mean() >= 0.95
+    # per-request entry override still works (seeding is skipped for it)
+    _, l_ent = seeded.search(q, k=10, ef=64, entry_ids=np.zeros(32, np.int32))
+    assert (l_ent[:, 0] == np.arange(32)).mean() >= 0.9
