@@ -24,7 +24,8 @@ def main():
     from hnsw_tpu.core.spaces import L2Space
     from hnsw_tpu.models.bruteforce import BruteforceIndex
     from hnsw_tpu.models.bulk_build import bulk_build
-    from hnsw_tpu.models.hnsw import inline_search_kwargs
+    from hnsw_tpu.models.hnsw import inline_search_kwargs, landmark_arrays
+    from hnsw_tpu.ops.topk import bruteforce_topk
     from hnsw_tpu.ops.traversal import search_batch
     from hnsw_tpu.utils.retry import device_retry
 
@@ -69,12 +70,21 @@ def main():
     print(f"device sync ({kind} tables): {time.time()-t0:.0f}s", flush=True)
 
     qd = jnp.asarray(q)
+    lm = landmark_arrays(dg, vectors, sq)
 
-    def measure(label, **stop_kwargs):
+    def seed_kwargs(seeds):
+        if not seeds or lm is None:
+            return {}
+        lv, li, lsq = lm
+        sd, si = bruteforce_topk(qd, lv, seeds, "l2", x_sq_norms=lsq)
+        return {"seed_ids": jnp.take(li, si, axis=0), "seed_dists": sd}
+
+    def measure(label, seeds=0, **stop_kwargs):
         def run():
             return search_batch(
                 vectors, dg, qd, k=k, ef=ef, space="l2", sq_norms=sq,
-                **inline_search_kwargs(nbr_vec), expand=2, **stop_kwargs,
+                **inline_search_kwargs(nbr_vec), expand=2,
+                **seed_kwargs(seeds), **stop_kwargs,
             )
 
         def warm():
@@ -97,6 +107,7 @@ def main():
         qps = nq / dt
         print(f"{label:<26} recall@{k}={rec:.4f}  {qps:>9.0f} qps", flush=True)
         return {"mode": label, "recall_at_10": round(rec, 4), "qps": round(qps, 1),
+                "entry_seeds": seeds,
                 **{k2: v for k2, v in stop_kwargs.items()}}
 
     results = [measure("baseline")]
@@ -121,11 +132,11 @@ def main():
     # calibrate_speed_mode uses): iterations past it are provably wasted
     # lockstep time, so its percentiles land tighter than hop percentiles
     # at the same recall.
-    def probe():
+    def probe(seeds=0):
         r = search_batch(
             vectors, dg, qd, k=k, ef=ef, space="l2", sq_norms=sq,
             **inline_search_kwargs(nbr_vec), expand=2, stop_frontier=1.15,
-            collect_metrics=True,
+            collect_metrics=True, **seed_kwargs(seeds),
         )
         r.dists.block_until_ready()
         return np.asarray(r.hops), np.asarray(r.last_improve)
@@ -150,6 +161,31 @@ def main():
             measure(f"frontier 1.15 + budget {cap}", stop_frontier=1.15,
                     max_iters=cap)
         )
+
+    # Landmark-seeded entry (SearchParams.entry_seeds): the seeded tail is
+    # shorter, so calibrate its budget from its OWN last-improve probe.
+    if lm is not None:
+        seeds = 4
+        results.append(measure("seeds4 + frontier 1.15", seeds=seeds,
+                               stop_frontier=1.15))
+        _, slast = device_retry(lambda: probe(seeds), attempts=5,
+                                base_sleep=15, log=print)
+        print(
+            f"seeded last-improve: p95={int(np.percentile(slast, 95))} "
+            f"p99={int(np.percentile(slast, 99))} "
+            f"p99.9={int(np.percentile(slast, 99.9))} "
+            f"max={int(slast.max())}", flush=True,
+        )
+        scaps = {
+            int(np.percentile(slast, 99.9)) + 2,
+            int(np.percentile(slast, 99)) + 2,
+            int(np.percentile(slast, 95)) + 2,
+        }
+        for cap in sorted((max(c, 8) for c in scaps), reverse=True):
+            results.append(
+                measure(f"seeds4 + f1.15 + budget {cap}", seeds=seeds,
+                        stop_frontier=1.15, max_iters=cap)
+            )
 
     best = max(
         (r for r in results[1:] if r["recall_at_10"] >= base_rec - 0.005),
