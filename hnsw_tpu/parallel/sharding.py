@@ -390,12 +390,55 @@ def build_sharded_arrays(
     )
 
 
+def sharded_landmark_arrays(
+    arrays: ShardedIndexArrays,
+    mesh: Mesh,
+    shard_axis: str = "shard",
+):
+    """Stacked per-shard landmark arrays (vectors [S, L_pad, D],
+    local ids [S, L_pad] int32 with -1 padding, sq_norms [S, L_pad]) for
+    the landmark-seeded entry mode — the sharded mirror of
+    models.hnsw.landmark_arrays. Each shard's landmark set is its own
+    upper-level nodes; shards are padded to a common L_pad with id -1 and
+    a huge sq_norm so padded rows sort last in the l2 seed matmul (ip
+    padding is masked post-topk inside sharded_search). Returns None when
+    no shard has upper levels."""
+    if arrays.upper_slot.shape[1] == 0:
+        return None
+    u_pad = arrays.upper.shape[2]
+    slot0 = np.asarray(arrays.upper_slot[:, 0, :])  # [S, n_pad]
+    per = [np.where(row < u_pad - 1)[0].astype(np.int32) for row in slot0]
+    l_max = max((len(p) for p in per), default=0)
+    if l_max == 0:
+        return None
+    s = len(per)
+    l_pad = round_up(l_max, 128)
+    ids = np.full((s, l_pad), -1, dtype=np.int32)
+    for i, p in enumerate(per):
+        ids[i, : len(p)] = p
+    spec2 = NamedSharding(mesh, P(shard_axis, None))
+    spec3 = NamedSharding(mesh, P(shard_axis, None, None))
+    li = jax.device_put(jnp.asarray(ids), spec2)
+    safe = jnp.maximum(li, 0)
+    lv = jax.jit(
+        jax.vmap(lambda x1, i1: jnp.take(x1, i1, axis=0)),
+        out_shardings=spec3,
+    )(arrays.vectors, safe)
+    lsq = jax.jit(
+        jax.vmap(
+            lambda sq1, i1, ok: jnp.where(ok, jnp.take(sq1, i1), 1e30)
+        ),
+        out_shardings=spec2,
+    )(arrays.sq_norms, safe, li >= 0)
+    return lv, li, lsq
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "k", "ef", "space", "expand", "max_iters", "mesh", "dp_axis",
         "shard_axis", "has_mask", "has_entry", "stop_patience",
-        "stop_frontier",
+        "stop_frontier", "entry_seeds",
     ),
 )
 def sharded_search(
@@ -403,6 +446,8 @@ def sharded_search(
     queries: jax.Array,  # [B, D], replicated (or dp-sharded) across devices
     eligible: jax.Array,  # [S, n_pad] bool per-shard mask ([S, 1] dummy when off)
     entry_ids: jax.Array,  # [S, B] int32 per-shard entry override ([S, 1] dummy)
+    landmarks=None,  # (lv [S,L,D], li [S,L], lsq [S,L]) per-shard landmark
+    #   set from sharded_landmark_arrays, or None (required if entry_seeds>0)
     *,
     k: int,
     ef: int,
@@ -416,6 +461,7 @@ def sharded_search(
     has_entry: bool = False,
     stop_patience: int = 0,
     stop_frontier: float = 0.0,
+    entry_seeds: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Search all shards and merge → (dists [B, k], labels [B, k] int64).
 
@@ -427,6 +473,13 @@ def sharded_search(
     (markDelete/BaseFilterFunctor parity with the single-chip index,
     hnswalg.h:853-900, hnswlib.h:128-132); `entry_ids` carries per-shard
     local entry overrides (-1 = that shard's default entry point).
+
+    `entry_seeds` > 0 enables the landmark-seeded entry mode per shard
+    (SearchParams.entry_seeds parity): each device runs one MXU matmul of
+    its dp-local queries against its own upper-level nodes and starts the
+    beam at the best S landmarks instead of the greedy descent. The seed
+    matmul is shard-local, so the mode composes with the shard merge at no
+    collective cost. Ignored when a per-query entry override is given.
     """
     q_spec = P(dp_axis, None) if dp_axis else P()
     # every index leaf is sharded on its leading [S] axis; `kind` is static
@@ -460,10 +513,38 @@ def sharded_search(
 
     kind = arrays.kind  # static: selects the per-shard serving tier
     interpret = jax.default_backend() != "tpu"
+    use_seeds = entry_seeds > 0 and landmarks is not None and not has_entry
+    lm_spec = (
+        (P(shard_axis, None, None), P(shard_axis, None), P(shard_axis, None))
+        if use_seeds
+        else None
+    )
 
-    def local(a: ShardedIndexArrays, q: jax.Array, el: jax.Array, en: jax.Array):
+    def local(
+        a: ShardedIndexArrays, q: jax.Array, el: jax.Array, en: jax.Array, lm
+    ):
         # strip the leading local-shard dim (size 1 per device)
         a1 = jax.tree_util.tree_map(lambda t: t[0], a)
+        seed_kwargs = {}
+        if use_seeds:
+            # landmark-seeded entry, shard-locally: one MXU matmul of the
+            # dp-local queries against this shard's upper-level nodes;
+            # padded landmark rows (id -1) are forced to inf so they never
+            # displace the descent-quality entry (traversal.py seed init
+            # drops inf seeds to empty beam slots)
+            from hnsw_tpu.ops.topk import bruteforce_topk
+
+            lv, li, lsq = lm[0][0], lm[1][0], lm[2][0]
+            s_seeds = min(entry_seeds, int(li.shape[0]), ef)
+            sd, si = bruteforce_topk(
+                q, lv, s_seeds, space,
+                x_sq_norms=lsq if space == "l2" else None,
+            )
+            sid = jnp.take(li, si, axis=0)
+            seed_kwargs = {
+                "seed_ids": sid,
+                "seed_dists": jnp.where(sid >= 0, sd, jnp.inf),
+            }
         tier_kwargs = {}
         if kind in ("unified", "unified8", "unified4"):
             tier_kwargs = dict(
@@ -495,6 +576,7 @@ def sharded_search(
             eligible=el[0] if has_mask else None,
             has_mask=has_mask,
             entry_ids=en[0] if has_entry else None,
+            **seed_kwargs,
             **tier_kwargs,
             expand=expand,
             max_iters=max_iters,
@@ -529,11 +611,12 @@ def sharded_search(
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(arr_spec, q_spec, elig_spec, ent_spec),
+        in_specs=(arr_spec, q_spec, elig_spec, ent_spec, lm_spec),
         out_specs=out_spec,
         check_vma=False,
     )
-    return fn(arrays, queries, eligible, entry_ids)
+    return fn(arrays, queries, eligible, entry_ids,
+              landmarks if use_seeds else None)
 
 
 def _bucket(k: int) -> int:
@@ -1092,6 +1175,7 @@ class ShardedHNSWIndex:
         stop_patience: int = 0,
         stop_frontier: float = 0.0,
         max_iters: int = 0,
+        entry_seeds: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched kNN over all shards (single-chip parity features:
         `filter_labels` is a bool mask over external labels, delete-marked
@@ -1100,7 +1184,8 @@ class ShardedHNSWIndex:
         to its local id or falls back to its own entry point). The speed-mode
         knobs (`stop_patience`, `stop_frontier`, `max_iters`) match
         single-chip `SearchParams`; the lockstep hop budget applies per
-        shard-local beam."""
+        shard-local beam. `entry_seeds` enables the landmark-seeded entry
+        mode per shard (SearchParams.entry_seeds parity)."""
         q_np = self.space.preprocess(queries)
         b0 = q_np.shape[0]
         # pad so each dp-local batch is a multiple of the hop-kernel tile
@@ -1141,11 +1226,18 @@ class ShardedHNSWIndex:
         else:
             entry_ids = jnp.zeros((s, 1), dtype=jnp.int32)
 
+        landmarks = None
+        if entry_seeds > 0 and not has_entry:
+            landmarks = self._landmarks_for(arrays)
+            if landmarks is None:
+                entry_seeds = 0
+
         d, l = sharded_search(
             arrays,
             jnp.asarray(q_np),
             eligible,
             entry_ids,
+            landmarks,
             k=k,
             ef=max(ef, k),
             space=self.space.name,
@@ -1158,5 +1250,17 @@ class ShardedHNSWIndex:
             stop_patience=stop_patience,
             stop_frontier=stop_frontier,
             max_iters=max_iters,
+            entry_seeds=entry_seeds,
         )
         return np.asarray(d)[:b0], np.asarray(l)[:b0]
+
+    def _landmarks_for(self, arrays: ShardedIndexArrays):
+        """Per-shard landmark arrays for the seeded entry mode, cached per
+        device-sync generation (every rebuild/delta replaces `_arrays` with
+        a fresh object, so identity keying is exact)."""
+        cache = getattr(self, "_landmark_cache", None)
+        if cache is not None and cache[0] is arrays:
+            return cache[1]
+        lm = sharded_landmark_arrays(arrays, self.mesh, self.shard_axis)
+        self._landmark_cache = (arrays, lm)
+        return lm

@@ -191,3 +191,42 @@ def test_sharded_inline_chunked_parity():
         v, lvl, NamedSharding(mesh, P("shard", None, None, None)), chunk=100
     )
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_sharded_entry_seeds(data):
+    """Landmark-seeded entry (SearchParams.entry_seeds parity): per-shard
+    seed matmul replaces the greedy descent with recall within noise of the
+    descent path, composes with the speed-mode budget, and works on the 2D
+    (dp, shard) mesh. With a tiny hop budget seeds must BEAT the descent
+    (the seeded beam starts at the exact top-S landmarks, proof the seeds
+    are live)."""
+    x, q, gt = data
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    idx = ShardedHNSWIndex("l2", DIM, mesh=mesh, m=16, ef_construction=200)
+    idx.build(x)
+    _, l_desc = idx.search(q, k=10, ef=100)
+    _, l_seed = idx.search(q, k=10, ef=100, entry_seeds=4)
+    assert _recall(l_seed, gt) >= _recall(l_desc, gt) - 0.02
+    _, l_seed_fast = idx.search(
+        q, k=10, ef=100, entry_seeds=4, stop_frontier=1.15, max_iters=24
+    )
+    assert _recall(l_seed_fast, gt) >= _recall(l_desc, gt) - 0.03
+    # landmark cache keys on the arrays object
+    assert idx._landmark_cache[0] is idx.arrays
+    # seeds survive a mutation re-sync (fresh arrays -> fresh landmarks)
+    idx.add_items(x[:8] + 0.5, labels=np.arange(N, N + 8))
+    _, l_after = idx.search(q, k=10, ef=100, entry_seeds=4)
+    assert _recall(l_after, gt) >= _recall(l_desc, gt) - 0.02
+    assert idx._landmark_cache[0] is idx.arrays
+
+
+def test_sharded_entry_seeds_2d_mesh(data):
+    x, q, gt = data
+    devs = np.array(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, ("dp", "shard"))
+    idx = ShardedHNSWIndex(
+        "l2", DIM, mesh=mesh, dp_axis="dp", m=16, ef_construction=200
+    )
+    idx.build(x)
+    _, labels = idx.search(q, k=10, ef=100, entry_seeds=4)
+    assert _recall(labels, gt) >= 0.95
