@@ -49,7 +49,12 @@ def main():
     from hnsw_tpu.core.spaces import L2Space
     from hnsw_tpu.models.bruteforce import BruteforceIndex
     from hnsw_tpu.models.bulk_build import bulk_build
-    from hnsw_tpu.models.hnsw import _rescore_topk, inline_search_kwargs
+    from hnsw_tpu.models.hnsw import (
+        _rescore_topk,
+        inline_search_kwargs,
+        landmark_arrays,
+    )
+    from hnsw_tpu.ops.topk import bruteforce_topk
     from hnsw_tpu.ops.traversal import search_batch
     from hnsw_tpu.utils.retry import device_retry
 
@@ -101,12 +106,19 @@ def main():
 
     qd = jnp.asarray(q)
     shard_results = []
+    seed_results = []
     for s in range(n_shards):
         res_path = os.path.join(STATE_DIR, f"shard{s}.json")
         topk_path = os.path.join(STATE_DIR, f"shard{s}_topk.npz")
-        if os.path.exists(res_path) and os.path.exists(topk_path):
+        seed_path = os.path.join(STATE_DIR, f"shard{s}_seed.json")
+        seed_topk = os.path.join(STATE_DIR, f"shard{s}_seed_topk.npz")
+        have_desc = os.path.exists(res_path) and os.path.exists(topk_path)
+        have_seed = os.path.exists(seed_path) and os.path.exists(seed_topk)
+        if have_desc and have_seed:
             with open(res_path) as f:
                 shard_results.append(json.load(f))
+            with open(seed_path) as f:
+                seed_results.append(json.load(f))
             print(f"shard {s}: cached", flush=True)
             continue
 
@@ -128,11 +140,23 @@ def main():
         print(f"shard {s}: built {build_s:.0f}s, {kind} tables "
               f"{time.time()-t0:.0f}s", flush=True)
 
-        def run_mode(rescore_m, **stop_kwargs):
+        lm = landmark_arrays(dg, vectors, sq)
+
+        def seed_kwargs(seeds):
+            # landmark-seeded entry (SearchParams.entry_seeds): one MXU
+            # matmul over this shard's upper-level nodes; computed per run
+            # so the qps loop pays for the seed matmul
+            if not seeds or lm is None:
+                return {}
+            lv, li, lsq = lm
+            sd, si = bruteforce_topk(qd, lv, seeds, "l2", x_sq_norms=lsq)
+            return {"seed_ids": jnp.take(li, si, axis=0), "seed_dists": sd}
+
+        def run_mode(rescore_m, seeds=0, **stop_kwargs):
             r = search_batch(
                 vectors, dg, qd, k=max(k, rescore_m), ef=ef, space="l2",
                 sq_norms=sq, **inline_search_kwargs(nbr_vec), expand=2,
-                **stop_kwargs,
+                **seed_kwargs(seeds), **stop_kwargs,
             )
             if rescore_m:
                 return _rescore_topk(
@@ -141,9 +165,9 @@ def main():
                 )
             return r.dists[:, :k], r.ids[:, :k]
 
-        def measure(label, rescore_m, **stop_kwargs):
+        def measure(label, rescore_m, seeds=0, **stop_kwargs):
             def warm():
-                d, i = run_mode(rescore_m, **stop_kwargs)
+                d, i = run_mode(rescore_m, seeds=seeds, **stop_kwargs)
                 d.block_until_ready()
                 return d, i
 
@@ -151,7 +175,7 @@ def main():
             t0 = time.time()
             iters = 4
             for _ in range(iters):
-                d, ids = run_mode(rescore_m, **stop_kwargs)
+                d, ids = run_mode(rescore_m, seeds=seeds, **stop_kwargs)
             d.block_until_ready()
             qps = nq * iters / (time.time() - t0)
             d = np.asarray(d)[:, :k]
@@ -165,47 +189,79 @@ def main():
         # Lockstep hop budget from the last-improvement tail (same recipe
         # as the 1M/2M/3M sweeps); shard shapes are identical so the XLA
         # compile cache pays for shards 1..7.
-        def probe():
+        def probe(seeds=0):
             r = search_batch(
                 vectors, dg, qd, k=40, ef=ef, space="l2", sq_norms=sq,
                 **inline_search_kwargs(nbr_vec), expand=2,
                 stop_frontier=1.15, collect_metrics=True,
+                **seed_kwargs(seeds),
             )
             r.dists.block_until_ready()
             return np.asarray(r.last_improve)
 
-        last = device_retry(probe, attempts=5, base_sleep=15, log=print)
-        cap = max(int(np.percentile(last, 99.9)) + 2, 8)
-        print(f"shard {s}: last-improve p99.9 cap = {cap}", flush=True)
+        if have_desc:
+            with open(res_path) as f:
+                shard_results.append(json.load(f))
+            print(f"shard {s}: descent modes cached", flush=True)
+        else:
+            last = device_retry(probe, attempts=5, base_sleep=15, log=print)
+            cap = max(int(np.percentile(last, 99.9)) + 2, 8)
+            print(f"shard {s}: last-improve p99.9 cap = {cap}", flush=True)
 
-        quality, qd_d, qd_l = measure(
-            "rescore40 + f1.15", 40, stop_frontier=1.15
+            quality, qd_d, qd_l = measure(
+                "rescore40 + f1.15", 40, stop_frontier=1.15
+            )
+            speed, sp_d, sp_l = measure(
+                f"rescore40 + f1.15 + budget {cap}", 40, stop_frontier=1.15,
+                max_iters=cap,
+            )
+            np.savez_compressed(
+                topk_path, quality_d=qd_d, quality_l=qd_l, speed_d=sp_d,
+                speed_l=sp_l,
+            )
+            rec = {
+                "shard": s, "build_s": round(build_s, 1), "tables": kind,
+                "quality": quality, "speed": speed, "budget": cap,
+            }
+            with open(res_path, "w") as f:
+                json.dump(rec, f)
+            shard_results.append(rec)
+
+        # Landmark-seeded entry modes (SearchParams.entry_seeds): the seeded
+        # beam's last-improve tail is far shorter, so it gets its own budget.
+        slast = device_retry(
+            lambda: probe(seeds=4), attempts=5, base_sleep=15, log=print
         )
-        speed, sp_d, sp_l = measure(
-            f"rescore40 + f1.15 + budget {cap}", 40, stop_frontier=1.15,
-            max_iters=cap,
+        scap = max(int(np.percentile(slast, 99.9)) + 2, 8)
+        print(f"shard {s}: seeded last-improve p99.9 cap = {scap}", flush=True)
+        squal, sqd, sql = measure(
+            "seeds4 + rescore40 + f1.15", 40, seeds=4, stop_frontier=1.15
+        )
+        sspeed, ssd, ssl = measure(
+            f"seeds4 + rescore40 + f1.15 + budget {scap}", 40, seeds=4,
+            stop_frontier=1.15, max_iters=scap,
         )
         np.savez_compressed(
-            topk_path, quality_d=qd_d, quality_l=qd_l, speed_d=sp_d,
-            speed_l=sp_l,
+            seed_topk, quality_d=sqd, quality_l=sql, speed_d=ssd,
+            speed_l=ssl,
         )
-        rec = {
-            "shard": s, "build_s": round(build_s, 1), "tables": kind,
-            "quality": quality, "speed": speed, "budget": cap,
-        }
-        with open(res_path, "w") as f:
-            json.dump(rec, f)
-        shard_results.append(rec)
+        seed_rec = {"shard": s, "quality": squal, "speed": sspeed,
+                    "budget": scap}
+        with open(seed_path, "w") as f:
+            json.dump(seed_rec, f)
+        seed_results.append(seed_rec)
         # free this shard's HBM before the next build
-        del dg, vectors, sq, nbr_vec, idx
+        del dg, vectors, sq, nbr_vec, idx, lm
 
     # The all-gather top-k merge (parallel/sharding.py semantics): stack
     # per-shard (dist, label), one sort, take k. Rescored distances are
     # exact f32 so cross-shard comparisons are exact.
-    def merged_recall(field_d, field_l):
+    def merged_recall(field_d, field_l, suffix="_topk"):
         ds, ls = [], []
         for s in range(n_shards):
-            with np.load(os.path.join(STATE_DIR, f"shard{s}_topk.npz")) as z:
+            with np.load(
+                os.path.join(STATE_DIR, f"shard{s}{suffix}.npz")
+            ) as z:
                 ds.append(z[field_d])
                 ls.append(z[field_l])
         d = np.concatenate(ds, axis=1)  # [nq, n_shards*k]
@@ -226,6 +282,12 @@ def main():
     print(f"merged recall@{k}: quality={rec_q:.4f} @ {sys_q:.0f} qps | "
           f"speed={rec_s:.4f} @ {sys_s:.0f} qps (host merge {merge_ms:.1f}ms "
           f"for {nq} queries)", flush=True)
+    rec_sq, _ = merged_recall("quality_d", "quality_l", "_seed_topk")
+    rec_ss, _ = merged_recall("speed_d", "speed_l", "_seed_topk")
+    sys_sq = min(r["quality"]["qps"] for r in seed_results)
+    sys_ss = min(r["speed"]["qps"] for r in seed_results)
+    print(f"merged seeded recall@{k}: quality={rec_sq:.4f} @ {sys_sq:.0f} "
+          f"qps | speed={rec_ss:.4f} @ {sys_ss:.0f} qps", flush=True)
 
     out = {
         "config": {
@@ -237,16 +299,22 @@ def main():
                            "top-k merge over ICI (parallel/sharding.py)",
         },
         "shards": shard_results,
+        "shards_seeded": seed_results,
         "merged": {
             "quality": {"recall_at_10": round(rec_q, 4),
                         "system_qps": round(sys_q, 1)},
             "speed": {"recall_at_10": round(rec_s, 4),
                       "system_qps": round(sys_s, 1)},
+            "seeded_quality": {"recall_at_10": round(rec_sq, 4),
+                               "system_qps": round(sys_sq, 1)},
+            "seeded_speed": {"recall_at_10": round(rec_ss, 4),
+                             "system_qps": round(sys_ss, 1)},
             "host_merge_ms_per_batch": round(merge_ms, 2),
             "all_gather_payload_bytes": n_shards * nq * k * 12,
         },
         "gate": {
             "merged_recall_ge_0.95": rec_q >= 0.95,
+            "seeded_recall_ge_0.95": rec_sq >= 0.95,
             "total_build_s": round(sum(r["build_s"] for r in shard_results), 1),
         },
     }

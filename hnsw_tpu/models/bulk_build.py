@@ -133,6 +133,7 @@ def _recursive_upper_phase(
     idx, data, labels, levels, hi, space, m, ef_construction, seed,
     first_wave, select_c, verbose, upper_recurse_min,
     wave_stop_frontier=0.0,
+    wave_entry_seeds=0,
 ):
     """Build the level>=1 hierarchy by recursing bulk_build on the subset
     (levels shifted down by one), then graft the sub-graph into `idx`'s
@@ -159,6 +160,7 @@ def _recursive_upper_phase(
         first_wave=first_wave, select_c=select_c, verbose=verbose,
         upper_recurse_min=upper_recurse_min, _levels=levels[hi] - 1,
         wave_stop_frontier=wave_stop_frontier,
+        wave_entry_seeds=wave_entry_seeds,
     )
     g_sub = sub._builder.export_graph()
     xh = np.ascontiguousarray(data[hi], dtype=np.float32)
@@ -257,6 +259,7 @@ def bulk_build(
     upper_recurse_min: int = 20_000,
     wave_size: int | None = None,
     wave_stop_frontier: float = 0.0,
+    wave_entry_seeds: int = 0,
     _levels: np.ndarray | None = None,
 ):
     """Build an HNSWIndex with device-accelerated construction.
@@ -280,7 +283,12 @@ def bulk_build(
     import json
     import os
 
-    from hnsw_tpu.models.hnsw import HNSWIndex, inline_search_kwargs
+    from hnsw_tpu.models.hnsw import (
+        HNSWIndex,
+        inline_search_kwargs,
+        landmark_arrays,
+    )
+    from hnsw_tpu.ops.topk import bruteforce_topk
 
     if isinstance(space, str):
         space = get_space(space, data.shape[1])
@@ -362,6 +370,7 @@ def bulk_build(
                 idx, data, labels, levels, hi, space, m, ef_construction,
                 seed, first_wave, select_c, verbose, upper_recurse_min,
                 wave_stop_frontier=wave_stop_frontier,
+                wave_entry_seeds=wave_entry_seeds,
             )
         else:
             # host-insert the hierarchy seed (small: ~N/M of the data)
@@ -454,6 +463,25 @@ def bulk_build(
             )
 
         def search_step():
+            # Landmark-seeded wave entry (same mechanism as
+            # SearchParams.entry_seeds): one MXU matmul over the upper-level
+            # nodes replaces the greedy descent and shortens the beam's
+            # last-improve tail, letting frontier-stop waves terminate
+            # earlier. The upper hierarchy is fixed before waves start, but
+            # x/dg are re-synced per wave, so seeds are computed here.
+            seed_kwargs = {}
+            if wave_entry_seeds > 0 and dg.max_level > 0:
+                lm = landmark_arrays(dg, x, sq)
+                if lm is not None:
+                    lv, li, lsq = lm
+                    s = min(wave_entry_seeds, int(li.shape[0]), k_sel)
+                    sd, si = bruteforce_topk(
+                        jnp.asarray(q_np), lv, s, space.name, x_sq_norms=lsq
+                    )
+                    seed_kwargs = {
+                        "seed_ids": jnp.take(li, si, axis=0),
+                        "seed_dists": sd,
+                    }
             res = search_batch(
                 x,
                 dg,
@@ -466,6 +494,7 @@ def bulk_build(
                 expand=2,
                 stop_frontier=wave_stop_frontier,
                 interpret=interpret,
+                **seed_kwargs,
             )
             # materialize so a failure surfaces inside this retry scope.
             # Keep the padded batch shape: select compiles per [W, C] too,

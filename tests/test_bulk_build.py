@@ -40,6 +40,33 @@ def test_bulk_build_recall_parity(rng):
     assert r_bulk >= 0.9, r_bulk
 
 
+def test_bulk_build_seeded_waves(rng):
+    """wave_entry_seeds (landmark-seeded wave entry) must preserve graph
+    validity and recall parity with the unseeded wave build."""
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    oracle = BruteforceIndex(L2Space(DIM))
+    oracle.add_items(x, np.arange(N))
+    q = x[rng.integers(0, N, 64)] + 0.01 * rng.normal(size=(64, DIM)).astype(
+        np.float32
+    )
+    _, gt = oracle.search_knn(q, 10)
+
+    seeded = bulk_build(
+        x, m=16, ef_construction=100, first_wave=512,
+        wave_stop_frontier=1.15, wave_entry_seeds=4,
+    )
+    assert seeded.num_elements == N
+    check_integrity(seeded.graph, require_inbound=False)
+    _, l_seeded = seeded.search(q, k=10, ef=100)
+
+    plain = bulk_build(x, m=16, ef_construction=100, first_wave=512)
+    _, l_plain = plain.search(q, k=10, ef=100)
+
+    r_seeded, r_plain = _recall(l_seeded, gt), _recall(l_plain, gt)
+    assert r_seeded >= r_plain - 0.05, (r_seeded, r_plain)
+    assert r_seeded >= 0.9, r_seeded
+
+
 def test_bulk_build_checkpoint_resume(rng, tmp_path, monkeypatch):
     """Elastic recovery: kill the build mid-wave, resume from the periodic
     checkpoint, and the finished index must match a straight-through build
