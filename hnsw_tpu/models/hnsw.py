@@ -174,11 +174,19 @@ def _rescore_topk(q, x, ids, dists, *, k, m, space, interpret):
     return dk, idk
 
 
-def landmark_arrays(dg, x, sq):
+def landmark_arrays(dg, x, sq, pool_extra: int = 0):
     """(vectors, ids, sq_norms) of every upper-level node — the graph's own
     1/M sample of the dataset, used as the landmark set of the seeded entry
     mode (SearchParams.entry_seeds). None when the graph has no upper
-    levels."""
+    levels.
+
+    `pool_extra` > 0 enlarges the pool with that many deterministically
+    strided level-0 node ids (evenly spaced over insertion order, skipping
+    nodes already in the upper set). The seed matmul is MXU-bound and its
+    table read amortizes over the whole query batch, so a several-x larger
+    pool is nearly free while starting the beam strictly closer — which is
+    what shortens the lockstep last-improvement tail that sets batch time.
+    """
     if dg.max_level == 0:
         return None
     u_pad = dg.upper.shape[1]
@@ -186,6 +194,17 @@ def landmark_arrays(dg, x, sq):
     ids = np.where(slot0 < u_pad - 1)[0].astype(np.int32)
     if not len(ids):
         return None
+    if pool_extra > 0:
+        n = int(dg.num_nodes)
+        mask = np.ones(n, dtype=bool)
+        mask[ids[ids < n]] = False
+        cand = np.nonzero(mask)[0]
+        want = min(pool_extra, len(cand))
+        if want > 0:
+            sel = cand[
+                np.linspace(0, len(cand) - 1, want).astype(np.int64)
+            ]
+            ids = np.concatenate([ids, sel.astype(np.int32)])
     li = jnp.asarray(ids)
     lv = jnp.take(x, li, axis=0)
     lsq = None if sq is None else jnp.take(sq, li, axis=0)
@@ -246,6 +265,11 @@ class SearchParams:
     # approximate, and a multi-seed start shortens the level-0
     # last-improvement tail that sets the lockstep batch time.
     entry_seeds: int = 0
+    # >0 (with entry_seeds): add this many strided level-0 nodes to the
+    # landmark pool beyond the upper-level set. The seed matmul's cost is
+    # amortized over the batch, so a larger pool buys a closer beam start
+    # (and thus a lower viable hop budget) almost for free.
+    seed_pool: int = 0
 
 
 class HNSWIndex:
@@ -660,6 +684,8 @@ class HNSWIndex:
         *,
         filter_labels: np.ndarray | None = None,
         entry_ids: np.ndarray | None = None,
+        entry_seeds: int = 0,
+        seed_pool: int = 0,
         params: SearchParams | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched kNN → (dists [B, k], labels [B, k]; label -1 = missing).
@@ -671,9 +697,15 @@ class HNSWIndex:
         `filter_labels`: bool mask over external labels (BaseFilterFunctor
         semantics, hnswlib/hnswlib.h:128-132). Deleted elements are always
         excluded from results (markDelete semantics, hnswalg.h:853-900).
+
+        `entry_seeds` / `seed_pool`: landmark-seeded entry — shorthand for
+        `SearchParams(entry_seeds=, seed_pool=)` when no explicit `params`
+        is given.
         """
         if params is None:
-            params = SearchParams(k=k, ef=max(ef, k))
+            params = SearchParams(k=k, ef=max(ef, k),
+                                  entry_seeds=entry_seeds,
+                                  seed_pool=seed_pool)
         dg, x, sq, deleted, labels_np, nbr_vec = self._sync_device()
         q_np = self.space.preprocess(queries)
         b0 = q_np.shape[0]
@@ -706,7 +738,8 @@ class HNSWIndex:
         k_search = max(params.k, m_res) if m_res >= params.k else params.k
         seed_kwargs = {}
         if params.entry_seeds > 0 and entry_ids is None and dg.max_level > 0:
-            lm = self._landmark_arrays(dg, x, sq)
+            lm = self._landmark_arrays(dg, x, sq,
+                                       pool_extra=params.seed_pool)
             if lm is not None:
                 from hnsw_tpu.ops.topk import bruteforce_topk
 
@@ -776,16 +809,17 @@ class HNSWIndex:
         )
         return dists, labels
 
-    def _landmark_arrays(self, dg, x, sq):
+    def _landmark_arrays(self, dg, x, sq, pool_extra: int = 0):
         """Device arrays for the landmark-seeded entry mode
-        (SearchParams.entry_seeds), cached per device-sync generation (any
-        row delta or full sync replaces self._device, invalidating the
-        cache)."""
+        (SearchParams.entry_seeds), cached per (device-sync generation,
+        pool_extra) — any row delta or full sync replaces self._device,
+        invalidating the cache."""
         cache = getattr(self, "_landmark_cache", None)
-        if cache is not None and cache[0] is self._device:
-            return cache[1]
-        lm = landmark_arrays(dg, x, sq)
-        self._landmark_cache = (self._device, lm)
+        if (cache is not None and cache[0] is self._device
+                and cache[1] == pool_extra):
+            return cache[2]
+        lm = landmark_arrays(dg, x, sq, pool_extra=pool_extra)
+        self._landmark_cache = (self._device, pool_extra, lm)
         return lm
 
     def calibrate_speed_mode(

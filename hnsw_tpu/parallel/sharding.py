@@ -394,6 +394,7 @@ def sharded_landmark_arrays(
     arrays: ShardedIndexArrays,
     mesh: Mesh,
     shard_axis: str = "shard",
+    pool_extra: int = 0,
 ):
     """Stacked per-shard landmark arrays (vectors [S, L_pad, D],
     local ids [S, L_pad] int32 with -1 padding, sq_norms [S, L_pad]) for
@@ -402,12 +403,27 @@ def sharded_landmark_arrays(
     upper-level nodes; shards are padded to a common L_pad with id -1 and
     a huge sq_norm so padded rows sort last in the l2 seed matmul (ip
     padding is masked post-topk inside sharded_search). Returns None when
-    no shard has upper levels."""
+    no shard has upper levels.
+
+    `pool_extra` > 0 enlarges each shard's pool with that many strided
+    level-0 node ids (SearchParams.seed_pool parity)."""
     if arrays.upper_slot.shape[1] == 0:
         return None
     u_pad = arrays.upper.shape[2]
     slot0 = np.asarray(arrays.upper_slot[:, 0, :])  # [S, n_pad]
     per = [np.where(row < u_pad - 1)[0].astype(np.int32) for row in slot0]
+    if pool_extra > 0:
+        nn = np.asarray(arrays.num_nodes)
+        for i, p in enumerate(per):
+            mask = np.ones(int(nn[i]), dtype=bool)
+            mask[p[p < int(nn[i])]] = False
+            cand = np.nonzero(mask)[0]
+            want = min(pool_extra, len(cand))
+            if want > 0:
+                sel = cand[
+                    np.linspace(0, len(cand) - 1, want).astype(np.int64)
+                ]
+                per[i] = np.concatenate([p, sel.astype(np.int32)])
     l_max = max((len(p) for p in per), default=0)
     if l_max == 0:
         return None
@@ -1176,6 +1192,7 @@ class ShardedHNSWIndex:
         stop_frontier: float = 0.0,
         max_iters: int = 0,
         entry_seeds: int = 0,
+        seed_pool: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched kNN over all shards (single-chip parity features:
         `filter_labels` is a bool mask over external labels, delete-marked
@@ -1185,7 +1202,9 @@ class ShardedHNSWIndex:
         knobs (`stop_patience`, `stop_frontier`, `max_iters`) match
         single-chip `SearchParams`; the lockstep hop budget applies per
         shard-local beam. `entry_seeds` enables the landmark-seeded entry
-        mode per shard (SearchParams.entry_seeds parity)."""
+        mode per shard (SearchParams.entry_seeds parity); `seed_pool`
+        enlarges each shard's landmark pool with strided level-0 nodes
+        (SearchParams.seed_pool parity)."""
         q_np = self.space.preprocess(queries)
         b0 = q_np.shape[0]
         # pad so each dp-local batch is a multiple of the hop-kernel tile
@@ -1228,7 +1247,7 @@ class ShardedHNSWIndex:
 
         landmarks = None
         if entry_seeds > 0 and not has_entry:
-            landmarks = self._landmarks_for(arrays)
+            landmarks = self._landmarks_for(arrays, pool_extra=seed_pool)
             if landmarks is None:
                 entry_seeds = 0
 
@@ -1254,13 +1273,16 @@ class ShardedHNSWIndex:
         )
         return np.asarray(d)[:b0], np.asarray(l)[:b0]
 
-    def _landmarks_for(self, arrays: ShardedIndexArrays):
+    def _landmarks_for(self, arrays: ShardedIndexArrays,
+                       pool_extra: int = 0):
         """Per-shard landmark arrays for the seeded entry mode, cached per
-        device-sync generation (every rebuild/delta replaces `_arrays` with
-        a fresh object, so identity keying is exact)."""
+        (device-sync generation, pool_extra) — every rebuild/delta replaces
+        `_arrays` with a fresh object, so identity keying is exact."""
         cache = getattr(self, "_landmark_cache", None)
-        if cache is not None and cache[0] is arrays:
-            return cache[1]
-        lm = sharded_landmark_arrays(arrays, self.mesh, self.shard_axis)
-        self._landmark_cache = (arrays, lm)
+        if (cache is not None and cache[0] is arrays
+                and cache[1] == pool_extra):
+            return cache[2]
+        lm = sharded_landmark_arrays(arrays, self.mesh, self.shard_axis,
+                                     pool_extra=pool_extra)
+        self._landmark_cache = (arrays, pool_extra, lm)
         return lm

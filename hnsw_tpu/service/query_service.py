@@ -50,7 +50,7 @@ class _Engine:
     def __init__(self, vectors_np, graph, space, default_ef, default_k, mode,
                  storage=None, deleted=None, stop_frontier=0.0,
                  stop_patience=0, rescore=None, max_iters=0,
-                 auto_speed=0.0, entry_seeds=0):
+                 auto_speed=0.0, entry_seeds=0, seed_pool=0):
         import jax
         import jax.numpy as jnp
 
@@ -105,7 +105,10 @@ class _Engine:
         if self.entry_seeds > 0:
             from hnsw_tpu.models.hnsw import landmark_arrays
 
-            self._lm = landmark_arrays(self.dg, self.x, self.sq)
+            # seed_pool: strided level-0 landmarks beyond the upper set
+            # (SearchParams.seed_pool analog)
+            self._lm = landmark_arrays(self.dg, self.x, self.sq,
+                                       pool_extra=int(seed_pool))
         if auto_speed:
             self._calibrate(float(auto_speed))
 
@@ -364,11 +367,12 @@ def build_engine(
     max_iters: int = 0,
     auto_speed: float = 0.0,
     entry_seeds: int = 0,
+    seed_pool: int = 0,
 ) -> _Engine:
     speed = dict(
         stop_frontier=stop_frontier, stop_patience=stop_patience,
         rescore=rescore, max_iters=max_iters, auto_speed=auto_speed,
-        entry_seeds=entry_seeds,
+        entry_seeds=entry_seeds, seed_pool=seed_pool,
     )
     if not optimized:
         from hnsw_tpu.io.checkpoint import load_checkpoint
@@ -513,6 +517,9 @@ def main():
     # >0: landmark-seeded entry — start the beam at the best S upper-level
     # nodes (one MXU matmul) instead of the greedy descent
     ap.add_argument("--entry_seeds", type=int, default=0)
+    # >0 (with --entry_seeds): add this many strided level-0 nodes to the
+    # landmark pool (closer beam start at ~no extra matmul cost)
+    ap.add_argument("--seed_pool", type=int, default=0)
     args = ap.parse_args()
     optimized = args.optimized in ("1", "true", "True")
     engine = build_engine(
@@ -520,6 +527,7 @@ def main():
         stop_frontier=args.stop_frontier, stop_patience=args.stop_patience,
         rescore=args.rescore, max_iters=args.max_iters,
         auto_speed=args.auto_speed, entry_seeds=args.entry_seeds,
+        seed_pool=args.seed_pool,
     )
     # all hot state now lives in device HBM; return the build-time host
     # buffers (checkpoint arrays / bulk-fetch staging) to the OS so the

@@ -139,3 +139,28 @@ def test_entry_seeds_landmark_mode(built):
     _, ls = idx.search(q, k=10, ef=100, params=SearchParams(
         k=10, ef=100, entry_seeds=8, stop_frontier=1.15, max_iters=40))
     assert _recall(ls, gt) >= r0 - 0.02
+
+
+def test_entry_seeds_pool(built):
+    """seed_pool: strided level-0 nodes enlarge the landmark pool. The pool
+    is a strict superset of the upper-node set, so seeded recall must not
+    drop; the pool ids must be valid (search stays well-formed) and the
+    cache must key on the pool size."""
+    idx, x, q, gt = built
+    _, l0 = idx.search(q, k=10, ef=100, entry_seeds=4)
+    r0 = _recall(l0, gt)
+    d2, l2 = idx.search(q, k=10, ef=100, entry_seeds=4, seed_pool=256)
+    r2 = _recall(l2, gt)
+    assert r2 >= r0 - 0.01, f"pooled {r2} vs upper-only {r0}"
+    assert np.all(np.diff(d2, axis=1) >= -1e-6)
+    for row in l2:
+        v = row[row >= 0]
+        assert len(set(v)) == len(v)
+    # pool larger than the dataset clamps instead of failing
+    _, l3 = idx.search(q, k=10, ef=100, entry_seeds=4, seed_pool=10 * N)
+    assert _recall(l3, gt) >= r0 - 0.01
+    # landmark cache distinguishes pool sizes (upper-only pool again)
+    lm_plain = idx._landmark_arrays(*idx._sync_device()[:3])
+    lm_pool = idx._landmark_arrays(*idx._sync_device()[:3], pool_extra=256)
+    assert int(lm_pool[1].shape[0]) > int(lm_plain[1].shape[0])
+    assert int(lm_pool[1].shape[0]) <= int(lm_plain[1].shape[0]) + 256

@@ -213,6 +213,15 @@ def test_sharded_entry_seeds(data):
     assert _recall(l_seed_fast, gt) >= _recall(l_desc, gt) - 0.03
     # landmark cache keys on the arrays object
     assert idx._landmark_cache[0] is idx.arrays
+    # seed_pool (strided level-0 landmarks) is a superset pool: recall must
+    # hold and the per-shard landmark count must grow
+    lm_plain = idx._landmarks_for(idx.arrays)
+    lm_pool = idx._landmarks_for(idx.arrays, pool_extra=64)
+    n_plain = int(np.sum(np.asarray(lm_plain[1]) >= 0, axis=1).min())
+    n_pool = int(np.sum(np.asarray(lm_pool[1]) >= 0, axis=1).min())
+    assert n_pool == n_plain + 64, (n_plain, n_pool)
+    _, l_pool = idx.search(q, k=10, ef=100, entry_seeds=4, seed_pool=64)
+    assert _recall(l_pool, gt) >= _recall(l_seed, gt) - 0.02
     # seeds survive a mutation re-sync (fresh arrays -> fresh landmarks)
     idx.add_items(x[:8] + 0.5, labels=np.arange(N, N + 8))
     _, l_after = idx.search(q, k=10, ef=100, entry_seeds=4)
