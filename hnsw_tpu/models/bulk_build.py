@@ -134,6 +134,7 @@ def _recursive_upper_phase(
     first_wave, select_c, verbose, upper_recurse_min,
     wave_stop_frontier=0.0,
     wave_entry_seeds=0,
+    wave_seed_pool=0,
 ):
     """Build the level>=1 hierarchy by recursing bulk_build on the subset
     (levels shifted down by one), then graft the sub-graph into `idx`'s
@@ -161,6 +162,7 @@ def _recursive_upper_phase(
         upper_recurse_min=upper_recurse_min, _levels=levels[hi] - 1,
         wave_stop_frontier=wave_stop_frontier,
         wave_entry_seeds=wave_entry_seeds,
+        wave_seed_pool=wave_seed_pool,
     )
     g_sub = sub._builder.export_graph()
     xh = np.ascontiguousarray(data[hi], dtype=np.float32)
@@ -260,6 +262,7 @@ def bulk_build(
     wave_size: int | None = None,
     wave_stop_frontier: float = 0.0,
     wave_entry_seeds: int = 0,
+    wave_seed_pool: int = 0,
     _levels: np.ndarray | None = None,
 ):
     """Build an HNSWIndex with device-accelerated construction.
@@ -371,6 +374,7 @@ def bulk_build(
                 seed, first_wave, select_c, verbose, upper_recurse_min,
                 wave_stop_frontier=wave_stop_frontier,
                 wave_entry_seeds=wave_entry_seeds,
+                wave_seed_pool=wave_seed_pool,
             )
         else:
             # host-insert the hierarchy seed (small: ~N/M of the data)
@@ -471,7 +475,9 @@ def bulk_build(
             # x/dg are re-synced per wave, so seeds are computed here.
             seed_kwargs = {}
             if wave_entry_seeds > 0 and dg.max_level > 0:
-                lm = landmark_arrays(dg, x, sq)
+                # wave_seed_pool: strided already-inserted level-0 nodes
+                # join the pool (SearchParams.seed_pool analog)
+                lm = landmark_arrays(dg, x, sq, pool_extra=wave_seed_pool)
                 if lm is not None:
                     lv, li, lsq = lm
                     s = min(wave_entry_seeds, int(li.shape[0]), k_sel)

@@ -835,6 +835,7 @@ class HNSWIndex:
         sample: int = 2048,
         seed: int = 0,
         entry_seeds: int = 0,
+        seed_pool: int = 0,
     ) -> SearchParams:
         """Auto-tune the adaptive-termination speed mode for THIS index and
         operating point, returning a ready `SearchParams` (also stored as
@@ -867,7 +868,7 @@ class HNSWIndex:
         probe = SearchParams(
             k=k, ef=max(ef, k), expand=expand,
             stop_frontier=stop_frontier, collect_metrics=True,
-            entry_seeds=entry_seeds,
+            entry_seeds=entry_seeds, seed_pool=seed_pool,
         )
         self.search(queries, params=probe)
         last = np.asarray(self.last_metrics.last_improve)
@@ -879,7 +880,7 @@ class HNSWIndex:
         self.speed_params = SearchParams(
             k=k, ef=max(ef, k), expand=expand,
             stop_frontier=stop_frontier, max_iters=cap,
-            entry_seeds=entry_seeds,
+            entry_seeds=entry_seeds, seed_pool=seed_pool,
         )
         return self.speed_params
 

@@ -53,7 +53,7 @@ def test_bulk_build_seeded_waves(rng):
 
     seeded = bulk_build(
         x, m=16, ef_construction=100, first_wave=512,
-        wave_stop_frontier=1.15, wave_entry_seeds=4,
+        wave_stop_frontier=1.15, wave_entry_seeds=4, wave_seed_pool=64,
     )
     assert seeded.num_elements == N
     check_integrity(seeded.graph, require_inbound=False)
