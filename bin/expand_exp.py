@@ -1,0 +1,159 @@
+"""Expand-width experiment (search_batch expand=).
+
+Hypothesis: at a calibrated hop budget the loop's cost splits into the
+descriptor-issue-bound hop kernel (~33ns x B*expand rows per iteration,
+scales with expand) and the per-iteration XLA merge/dedup/sort fusions
+(mostly beam-width-bound, ~fixed per iteration). Raising `expand` and
+re-calibrating the budget from that mode's OWN last-improvement tail
+keeps total expansions ~equal while cutting the number of lockstep
+iterations — fewer fixed per-iteration costs at the same recall.
+
+Measures raw search_batch like bench.py (comparable numbers) at the
+reference operating point (N=100k d=128 M=16 efC=200 ef=200 k=10,
+clustered data, batch 8192, seeds 4): expand in {2, 3, 4}, each as
+{exhaustive, frontier 1.15 + budget at its last-improve p99/p99.9 + 2}.
+Writes res/expand_exp.json.
+
+Usage: python bin/expand_exp.py [N] [out.json]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax.numpy as jnp
+
+    from hnsw_tpu.core.spaces import L2Space
+    from hnsw_tpu.models.bruteforce import BruteforceIndex
+    from hnsw_tpu.models.hnsw import (
+        HNSWIndex,
+        inline_search_kwargs,
+        landmark_arrays,
+    )
+    from hnsw_tpu.ops.topk import bruteforce_topk
+    from hnsw_tpu.ops.traversal import search_batch
+    from hnsw_tpu.utils.retry import device_retry
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "res/expand_exp.json"
+    dim, m, ef_c, k, ef = 128, 16, 200, 10, 200
+    nq, seeds = 8192, 4
+
+    rng = np.random.default_rng(123)
+    centers = rng.normal(size=(1024, dim)).astype(np.float32)
+    x = centers[rng.integers(0, 1024, n)] + 0.5 * rng.normal(
+        size=(n, dim)
+    ).astype(np.float32)
+    q = x[rng.integers(0, n, nq)] + 0.05 * rng.normal(size=(nq, dim)).astype(
+        np.float32
+    )
+
+    cache = f"/tmp/bench_graph_N{n}_d{dim}_m{m}_efc{ef_c}_seed123.npz"
+    idx = None
+    if os.path.exists(cache):
+        try:
+            idx = HNSWIndex.load(cache)
+            assert idx.num_elements == n
+            print("graph cache loaded", flush=True)
+        except Exception:
+            idx = None
+    if idx is None:
+        idx = HNSWIndex("l2", dim=dim, m=m, ef_construction=ef_c)
+        t0 = time.time()
+        idx.add_items(x)
+        print(f"host build: {time.time()-t0:.0f}s", flush=True)
+        try:
+            idx.save(cache)
+        except Exception:
+            pass
+    oracle = BruteforceIndex(L2Space(dim))
+    oracle.add_items(x, np.arange(n))
+    _, gt = oracle.search_knn(q, k)
+
+    dg, vectors, sq, _, labels_np, nbr_vec = idx._sync_device()
+    qd = jnp.asarray(q)
+    lv, li, lsq = landmark_arrays(dg, vectors, sq)
+
+    def run(expand, stop_frontier=0.0, max_iters=0, collect_metrics=False):
+        sd, si = bruteforce_topk(qd, lv, seeds, "l2", x_sq_norms=lsq)
+        return search_batch(
+            vectors, dg, qd, k=k, ef=ef, space="l2", sq_norms=sq,
+            **inline_search_kwargs(nbr_vec), expand=expand,
+            stop_frontier=stop_frontier, max_iters=max_iters,
+            collect_metrics=collect_metrics,
+            seed_ids=jnp.take(li, si, axis=0), seed_dists=sd,
+        )
+
+    def measure(label, expand, **stop_kwargs):
+        def warm():
+            r = run(expand, **stop_kwargs)
+            r.dists.block_until_ready()
+            return r
+
+        r = device_retry(warm, attempts=5, base_sleep=15, log=print)
+        t0 = time.time()
+        iters = 6
+        for _ in range(iters):
+            r = run(expand, **stop_kwargs)
+        r.dists.block_until_ready()
+        qps = nq * iters / (time.time() - t0)
+        got = labels_np[np.minimum(np.asarray(r.ids)[:, :k], len(labels_np) - 1)]
+        got = np.where(np.isfinite(np.asarray(r.dists)[:, :k]), got, -1)
+        rec = float(
+            np.mean([len(set(got[i]) & set(gt[i])) / k for i in range(nq)])
+        )
+        print(f"{label:<40} recall@{k}={rec:.4f}  {qps:>9.0f} qps", flush=True)
+        return {"mode": label, "recall_at_10": round(rec, 4),
+                "qps": round(qps, 1), "expand": expand, **stop_kwargs}
+
+    results = []
+    for expand in (2, 3, 4):
+        tag = f"expand {expand}"
+        results.append(measure(f"{tag} exhaustive", expand))
+
+        def probe():
+            r = run(expand, stop_frontier=1.15, collect_metrics=True)
+            r.dists.block_until_ready()
+            return np.asarray(r.last_improve)
+
+        last = device_retry(probe, attempts=5, base_sleep=15, log=print)
+        print(f"  [{tag}] last-improve p95={int(np.percentile(last, 95))} "
+              f"p99={int(np.percentile(last, 99))} "
+              f"p99.9={int(np.percentile(last, 99.9))} "
+              f"max={int(last.max())}", flush=True)
+        for pct, margin in ((99.9, 2), (99.0, 1)):
+            cap = max(int(np.percentile(last, pct)) + margin, 4)
+            results.append(measure(
+                f"{tag} f1.15 + budget {cap}", expand,
+                stop_frontier=1.15, max_iters=cap,
+            ))
+
+    base = results[0]
+    best = max(
+        (r for r in results
+         if r["recall_at_10"] >= base["recall_at_10"] - 0.0005),
+        key=lambda r: r["qps"],
+    )
+    out = {
+        "config": {"N": n, "dim": dim, "M": m, "ef_construction": ef_c,
+                   "k": k, "ef": ef, "batch": nq, "entry_seeds": seeds,
+                   "dataset": "clustered-gaussian-1024c (bench dataset)",
+                   "hardware": "TPU v5e (1 chip)"},
+        "modes": results,
+        "best_at_equal_recall": best,
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out["best_at_equal_recall"]), flush=True)
+
+
+if __name__ == "__main__":
+    main()
