@@ -30,8 +30,11 @@ N_QUERY_BATCHES = 8
 CPU_BASELINE_QUERIES = 512
 
 
+_T0 = time.time()
+
+
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.time()-_T0:7.1f}s]", *a, file=sys.stderr, flush=True)
 
 
 def make_dataset(n, dim, rng, n_clusters=1024, spread=0.5):
@@ -60,13 +63,18 @@ def main():
         # On-TPU kernel parity gate: the pytest suite runs Pallas in CPU
         # interpret mode, so a Mosaic-only regression (layout, bitcast
         # orientation, DMA semantics) would otherwise be invisible.
+        # MUST use its own rng: drawing from the dataset rng here would
+        # shift the dataset/query stream on TPU relative to the CPU-side
+        # scripts that share the /tmp graph cache — the round-4 recall-0
+        # bug (graph built on one stream, GT computed on the other).
         from hnsw_tpu.ops.pallas_gather import hop_dist_unified, make_unified_table
 
-        kv = jnp.asarray(rng.normal(size=(256, DIM)).astype(np.float32))
-        lvl = jnp.asarray(rng.integers(0, 255, size=(256, 32)).astype(np.int32))
+        prng = np.random.default_rng(999)
+        kv = jnp.asarray(prng.normal(size=(256, DIM)).astype(np.float32))
+        lvl = jnp.asarray(prng.integers(0, 255, size=(256, 32)).astype(np.int32))
         tab = make_unified_table(kv, lvl)
-        qv = jnp.asarray(rng.normal(size=(16, DIM)).astype(np.float32))
-        chosen = jnp.asarray(rng.integers(0, 255, size=(16, 2)).astype(np.int32))
+        qv = jnp.asarray(prng.normal(size=(16, DIM)).astype(np.float32))
+        chosen = jnp.asarray(prng.integers(0, 255, size=(16, 2)).astype(np.int32))
         dists, idout = hop_dist_unified(qv, tab, chosen, 32)
         ids_ref = np.asarray(lvl)[np.asarray(chosen)]  # [16, 2, 32]
         np.testing.assert_array_equal(
@@ -131,15 +139,48 @@ def main():
     # nearest or occlusion-pruned extras keeps candidates just inside the
     # frontier threshold, delaying the stop; max hops went UP).
 
-    # queries: perturbed samples; ground truth from the exact oracle
+    # queries: perturbed samples; ground truth from the exact oracle.
+    # GT is deterministic given (seed, N, DIM, BATCH, K), so cache it beside
+    # the graph cache — on a warm run the bruteforce oracle program is never
+    # even compiled (round-1 cold GT compile was 264.6s; round-3's bench
+    # timed out in this phase).
     q = x[rng.integers(0, N, BATCH)] + 0.05 * rng.normal(size=(BATCH, DIM)).astype(
         np.float32
     )
-    oracle = BruteforceIndex(L2Space(DIM))
-    oracle.add_items(x, np.arange(N))
-    t0 = time.time()
-    _, gt = oracle.search_knn(q, K)
-    log(f"oracle ground truth: {time.time()-t0:.1f}s")
+    gt_cache = f"/tmp/bench_gt_N{N}_d{DIM}_b{BATCH}_k{K}_seed123.npz"
+    gt = None
+    if not os.environ.get("BENCH_NO_CACHE") and os.path.exists(gt_cache):
+        try:
+            with np.load(gt_cache) as z:
+                assert np.allclose(z["q_head"], q[:4]), "query stream changed"
+                gt = z["gt"]
+            log("oracle ground truth: cached")
+        except Exception as exc:
+            log(f"gt cache unreadable ({exc}); recomputing")
+            gt = None
+    if gt is None:
+        oracle = BruteforceIndex(L2Space(DIM))
+        oracle.add_items(x, np.arange(N))
+        t0 = time.time()
+        _, gt = oracle.search_knn(q, K)
+        gt = np.asarray(gt)
+        log(f"oracle ground truth: {time.time()-t0:.1f}s")
+        try:
+            np.savez(gt_cache, gt=gt, q_head=q[:4])
+        except Exception as exc:
+            log(f"gt cache save failed ({exc})")
+
+    # single-core CPU baseline (hnswlib-equivalent heap engine, same graph/ef).
+    # Runs BEFORE any TPU compile so a pathological remote compile can't
+    # starve it; median of 3 runs tames the 700-1050 qps host noise.
+    cpu_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        idx.search_cpu(q[:CPU_BASELINE_QUERIES], k=K, ef=EF)
+        cpu_runs.append(CPU_BASELINE_QUERIES / (time.time() - t0))
+    cpu_qps = float(np.median(cpu_runs))
+    log(f"CPU single-core baseline: {cpu_qps:.0f} qps "
+        f"(runs: {', '.join(f'{r:.0f}' for r in cpu_runs)})")
 
     dg, vectors, sq, _, labels_np, nbr_vec = idx._sync_device()
     qd = jnp.asarray(q)
@@ -191,8 +232,10 @@ def main():
         )
         return res.dists, res.ids
 
-    # compile + warm (the remote compile service flakes with transient
-    # HTTP 500s on fresh shapes — retry a few times)
+    # compile + warm (the remote compile service flakes — HTTP 500s,
+    # UNAVAILABLE/INTERNAL relay hiccups — on fresh shapes; the same compile
+    # retried usually succeeds, so retry on ANY error and only raise after
+    # the retries are spent)
     t0 = time.time()
     for attempt in range(4):
         try:
@@ -200,9 +243,10 @@ def main():
             d.block_until_ready()
             break
         except Exception as exc:
-            if "remote_compile" not in str(exc) or attempt == 3:
+            if attempt == 3:
                 raise
-            log(f"transient compile failure (attempt {attempt + 1}), retrying")
+            log(f"compile/run failure (attempt {attempt + 1}): "
+                f"{type(exc).__name__}: {str(exc)[:200]} — retrying")
             time.sleep(5)
     log(f"compile+first: {time.time()-t0:.1f}s")
 
@@ -221,23 +265,9 @@ def main():
     qps = BATCH * N_QUERY_BATCHES / dt
     log(f"TPU: {qps:.0f} qps (batch={BATCH}, {dt/N_QUERY_BATCHES*1000:.1f} ms/batch)")
 
-    # exhaustive mode (no early termination) for the detail record
-    d, ids_x = run(qd, stop_frontier=0.0, max_iters=0, entry_seeds=0)
-    d.block_until_ready()
-    t0 = time.time()
-    for _ in range(N_QUERY_BATCHES):
-        d, ids_x = run(qd, stop_frontier=0.0, max_iters=0, entry_seeds=0)
-    d.block_until_ready()
-    qps_exh = BATCH * N_QUERY_BATCHES / (time.time() - t0)
-    log(f"TPU exhaustive: {qps_exh:.0f} qps")
-
-    # single-core CPU baseline (hnswlib-equivalent heap engine, same graph/ef)
-    t0 = time.time()
-    idx.search_cpu(q[:CPU_BASELINE_QUERIES], k=K, ef=EF)
-    cpu_dt = time.time() - t0
-    cpu_qps = CPU_BASELINE_QUERIES / cpu_dt
-    log(f"CPU single-core baseline: {cpu_qps:.0f} qps")
-
+    # Emit the headline JSON line IMMEDIATELY — everything past this point is
+    # optional detail, and a pathological compile there must not be able to
+    # time the whole bench out (round-3 failure mode).
     gated_qps = qps if recall >= 0.95 else 0.0
     print(
         json.dumps(
@@ -254,11 +284,28 @@ def main():
                     "batch": BATCH,
                     "stop_frontier": STOP_FRONTIER,
                     "max_iters": MAX_ITERS,
-                    "exhaustive_qps": round(qps_exh, 1),
+                    "entry_seeds": ENTRY_SEEDS,
                 },
             }
-        )
+        ),
+        flush=True,
     )
+
+    if os.environ.get("BENCH_FULL"):
+        # exhaustive mode (no early termination) — a separate compiled
+        # program, so it stays behind BENCH_FULL=1.
+        d, ids_x = run(qd, stop_frontier=0.0, max_iters=0, entry_seeds=0)
+        d.block_until_ready()
+        t0 = time.time()
+        for _ in range(N_QUERY_BATCHES):
+            d, ids_x = run(qd, stop_frontier=0.0, max_iters=0, entry_seeds=0)
+        d.block_until_ready()
+        qps_exh = BATCH * N_QUERY_BATCHES / (time.time() - t0)
+        got_x = labels_np[np.minimum(np.asarray(ids_x), len(labels_np) - 1)]
+        recall_x = np.mean(
+            [len(set(got_x[i]) & set(gt[i])) / K for i in range(BATCH)]
+        )
+        log(f"TPU exhaustive: {qps_exh:.0f} qps, recall {recall_x:.4f}")
 
 
 if __name__ == "__main__":

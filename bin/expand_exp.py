@@ -11,8 +11,8 @@ iterations — fewer fixed per-iteration costs at the same recall.
 Measures raw search_batch like bench.py (comparable numbers) at the
 reference operating point (N=100k d=128 M=16 efC=200 ef=200 k=10,
 clustered data, batch 8192, seeds 4): expand in {2, 3, 4}, each as
-{exhaustive, frontier 1.15 + budget at its last-improve p99/p99.9 + 2}.
-Writes res/expand_exp.json.
+{exhaustive, frontier 1.15 + budgets at that mode's own last-improve
+p99+1 and p99.9+2 (deduped)}. Writes res/expand_exp.json.
 
 Usage: python bin/expand_exp.py [N] [out.json]
 """
@@ -73,13 +73,33 @@ def main():
             idx.save(cache)
         except Exception:
             pass
-    oracle = BruteforceIndex(L2Space(dim))
-    oracle.add_items(x, np.arange(n))
-    _, gt = oracle.search_knn(q, k)
+    gt_cache = f"/tmp/bench_gt_N{n}_d{dim}_b{nq}_k{k}_seed123.npz"
+    gt = None
+    if os.path.exists(gt_cache):
+        try:
+            with np.load(gt_cache) as z:
+                assert np.allclose(z["q_head"], q[:4])
+                gt = z["gt"]
+            print("gt cache loaded", flush=True)
+        except Exception:
+            gt = None
+    if gt is None:
+        oracle = BruteforceIndex(L2Space(dim))
+        oracle.add_items(x, np.arange(n))
+        _, gt = oracle.search_knn(q, k)
+        gt = np.asarray(gt)
+        try:
+            np.savez(gt_cache, gt=gt, q_head=q[:4])
+        except Exception:
+            pass
 
     dg, vectors, sq, _, labels_np, nbr_vec = idx._sync_device()
     qd = jnp.asarray(q)
-    lv, li, lsq = landmark_arrays(dg, vectors, sq)
+    lms = landmark_arrays(dg, vectors, sq)
+    if lms is None:
+        sys.exit("graph has no upper levels (N too small for seeded entry); "
+                 "run with a larger N")
+    lv, li, lsq = lms
 
     def run(expand, stop_frontier=0.0, max_iters=0, collect_metrics=False):
         sd, si = bruteforce_topk(qd, lv, seeds, "l2", x_sq_norms=lsq)
@@ -128,8 +148,11 @@ def main():
               f"p99={int(np.percentile(last, 99))} "
               f"p99.9={int(np.percentile(last, 99.9))} "
               f"max={int(last.max())}", flush=True)
-        for pct, margin in ((99.9, 2), (99.0, 1)):
-            cap = max(int(np.percentile(last, pct)) + margin, 4)
+        caps = sorted({
+            max(int(np.percentile(last, pct)) + margin, 4)
+            for pct, margin in ((99.9, 2), (99.0, 1))
+        })
+        for cap in caps:
             results.append(measure(
                 f"{tag} f1.15 + budget {cap}", expand,
                 stop_frontier=1.15, max_iters=cap,

@@ -16,11 +16,14 @@
 
 #include <atomic>
 #include <cctype>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <deque>
 #include <functional>
 #include <map>
+#include <mutex>
 #include <sstream>
 #include <string>
 #include <thread>
@@ -78,12 +81,23 @@ inline bool write_all(int fd, const char* buf, size_t n) {
 }
 
 // --------------------------------------------------------------------------
-// Server: accept loop, one detached thread per connection (the reference's
-// cpp-httplib default is a thread-pool server; connection counts here are
-// a handful of harness clients).
+// Server: accept loop feeding a FIXED worker pool over a bounded connection
+// queue (the reference's cpp-httplib serves from a bounded thread pool too;
+// the earlier thread-per-connection design spawned unbounded threads under
+// load). When the queue is full the accept loop blocks — kernel backlog +
+// client timeouts provide the backpressure, the process never runs away.
+// Worker count: HTTPKIT_WORKERS env or the constructor arg (default 8).
 // --------------------------------------------------------------------------
 class Server {
  public:
+  explicit Server(int workers = 0) {
+    if (workers <= 0) {
+      const char* env = getenv("HTTPKIT_WORKERS");
+      workers = env ? atoi(env) : 0;
+    }
+    n_workers_ = workers > 0 ? workers : 8;
+  }
+
   void route(const std::string& method, const std::string& path, Handler h) {
     handlers_[method + " " + path] = std::move(h);
   }
@@ -98,21 +112,46 @@ class Server {
     addr.sin_addr.s_addr = htonl(INADDR_ANY);
     addr.sin_port = htons(uint16_t(port));
     if (bind(s, (sockaddr*)&addr, sizeof(addr)) != 0) return false;
-    if (listen(s, 64) != 0) return false;
-    fprintf(stderr, "listening on %d\n", port);
+    if (listen(s, 256) != 0) return false;
+    for (int i = 0; i < n_workers_; i++)
+      workers_.emplace_back([this] { worker_loop(); });
+    fprintf(stderr, "listening on %d (%d workers)\n", port, n_workers_);
     fflush(stderr);
+    const size_t queue_cap = size_t(n_workers_) * 8;
     while (true) {
       int c = accept(s, nullptr, nullptr);
       if (c < 0) continue;
-      std::thread([this, c] {
-        handle_conn(c);
-        ::close(c);
-      }).detach();
+      {
+        std::unique_lock<std::mutex> lk(pool_mu_);
+        pool_not_full_.wait(lk, [&] { return pending_.size() < queue_cap; });
+        pending_.push_back(c);
+      }
+      pool_not_empty_.notify_one();
     }
   }
 
  private:
+  void worker_loop() {
+    while (true) {
+      int fd;
+      {
+        std::unique_lock<std::mutex> lk(pool_mu_);
+        pool_not_empty_.wait(lk, [&] { return !pending_.empty(); });
+        fd = pending_.front();
+        pending_.pop_front();
+      }
+      pool_not_full_.notify_one();
+      handle_conn(fd);
+      ::close(fd);
+    }
+  }
+
   void handle_conn(int fd) {
+    // Idle-read timeout: with a fixed pool, a silent keep-alive peer must
+    // not pin a worker forever — reads give up after 10s and the worker
+    // moves on to the next queued connection.
+    timeval tv{10, 0};
+    setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
     std::string buf;
     char tmp[8192];
     while (true) {
@@ -177,6 +216,11 @@ class Server {
   }
 
   std::map<std::string, Handler> handlers_;
+  int n_workers_ = 8;
+  std::vector<std::thread> workers_;
+  std::mutex pool_mu_;
+  std::condition_variable pool_not_empty_, pool_not_full_;
+  std::deque<int> pending_;
 };
 
 // --------------------------------------------------------------------------

@@ -1,0 +1,128 @@
+// Cross-validation driver for the REAL vendored hnswlib engine
+// (/root/reference/hnswlib/hnswalg.h — header-only, included at compile
+// time via -I, never copied). Test-only: this binary lives under tests/
+// and is never linked into hnsw_tpu. It converts every
+// "hnswlib-equivalent" claim in the repo from self-referential to
+// verified against the actual reference engine.
+//
+// Usage:
+//   xcheck_hnswlib build_search <data.f32> <n> <dim> <M> <efC> \
+//       <queries.f32> <nq> <k> <ef> <out_ids.i64> [adj_out]
+//
+// Reads raw little-endian float32 row-major arrays, builds a
+// HierarchicalNSW<float> over an L2Space (single thread, sequential
+// labels 0..n-1), runs searchKnn per query (single core, timed), and
+// writes the top-k labels as int64 [nq, k] (-1 padded). Prints ONE JSON
+// line with build/query timing to stdout. With [adj_out], also exports
+// the built graph in the reference `.adj` format
+// (index_builder/build.cpp:14-21) so the repo's io/adj.py reader can be
+// validated against a graph the reference engine itself produced.
+
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <fstream>
+#include <string>
+#include <vector>
+
+#include "hnswalg.h"
+
+static std::vector<float> read_f32(const std::string &path, size_t count) {
+    std::ifstream in(path, std::ios::binary);
+    if (!in) { fprintf(stderr, "cannot open %s\n", path.c_str()); exit(2); }
+    std::vector<float> v(count);
+    in.read(reinterpret_cast<char *>(v.data()), count * sizeof(float));
+    if (!in) { fprintf(stderr, "short read from %s\n", path.c_str()); exit(2); }
+    return v;
+}
+
+// Reference .adj writer semantics (index_builder/build.cpp:14-107):
+// header {entrypoint, max_level, node_count} u32, then per node in
+// internal-id order: {label, levels} u32, per level {deg, deg x u32
+// neighbor internal ids}.
+static void export_adj(hnswlib::HierarchicalNSW<float> &alg,
+                       const std::string &path) {
+    std::ofstream out(path, std::ios::binary);
+    auto w32 = [&](uint32_t v) {
+        out.write(reinterpret_cast<const char *>(&v), 4);
+    };
+    uint32_t n = static_cast<uint32_t>(alg.cur_element_count.load());
+    w32(static_cast<uint32_t>(alg.enterpoint_node_));
+    w32(static_cast<uint32_t>(alg.maxlevel_));
+    w32(n);
+    for (uint32_t i = 0; i < n; i++) {
+        w32(static_cast<uint32_t>(alg.getExternalLabel(i)));
+        uint32_t levels = static_cast<uint32_t>(alg.element_levels_[i]) + 1;
+        w32(levels);
+        for (uint32_t l = 0; l < levels; l++) {
+            hnswlib::linklistsizeint *ll = alg.get_linklist_at_level(i, l);
+            uint32_t deg = alg.getListCount(ll);
+            w32(deg);
+            hnswlib::tableint *nb = reinterpret_cast<hnswlib::tableint *>(ll + 1);
+            for (uint32_t d = 0; d < deg; d++) w32(static_cast<uint32_t>(nb[d]));
+        }
+    }
+}
+
+int main(int argc, char **argv) {
+    if (argc < 11 || std::string(argv[1]) != "build_search") {
+        fprintf(stderr, "usage: %s build_search data n dim M efC queries nq "
+                        "k ef out_ids [adj_out]\n", argv[0]);
+        return 2;
+    }
+    std::string data_path = argv[2];
+    size_t n = strtoull(argv[3], nullptr, 10);
+    size_t dim = strtoull(argv[4], nullptr, 10);
+    size_t M = strtoull(argv[5], nullptr, 10);
+    size_t efC = strtoull(argv[6], nullptr, 10);
+    std::string q_path = argv[7];
+    size_t nq = strtoull(argv[8], nullptr, 10);
+    size_t k = strtoull(argv[9], nullptr, 10);
+    size_t ef = strtoull(argv[10], nullptr, 10);
+    std::string out_path = argv[11];
+    std::string adj_out = argc > 12 ? argv[12] : "";
+
+    std::vector<float> data = read_f32(data_path, n * dim);
+    std::vector<float> queries = read_f32(q_path, nq * dim);
+
+    hnswlib::L2Space space(dim);
+    hnswlib::HierarchicalNSW<float> alg(&space, n, M, efC, /*seed=*/100);
+
+    auto t0 = std::chrono::steady_clock::now();
+    for (size_t i = 0; i < n; i++)
+        alg.addPoint(data.data() + i * dim, static_cast<hnswlib::labeltype>(i));
+    double build_s =
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+            .count();
+
+    alg.setEf(ef);
+    std::vector<int64_t> ids(nq * k, -1);
+    t0 = std::chrono::steady_clock::now();
+    for (size_t qi = 0; qi < nq; qi++) {
+        auto heap = alg.searchKnn(queries.data() + qi * dim, k);
+        size_t got = heap.size();
+        // max-heap pops worst first; fill back-to-front for ascending order
+        for (size_t j = got; j-- > 0;) {
+            ids[qi * k + j] = static_cast<int64_t>(heap.top().second);
+            heap.pop();
+        }
+    }
+    double query_s =
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+            .count();
+
+    std::ofstream out(out_path, std::ios::binary);
+    out.write(reinterpret_cast<const char *>(ids.data()),
+              ids.size() * sizeof(int64_t));
+    out.close();
+
+    if (!adj_out.empty()) export_adj(alg, adj_out);
+
+    printf("{\"build_s\": %.3f, \"query_s\": %.3f, \"qps\": %.1f, "
+           "\"max_level\": %d, \"entrypoint\": %u}\n",
+           build_s, query_s, nq / query_s, alg.maxlevel_,
+           static_cast<unsigned>(alg.enterpoint_node_));
+    return 0;
+}

@@ -1,0 +1,186 @@
+"""Cross-validation against the REAL vendored hnswlib engine.
+
+Round-3 verdict: every "hnswlib-equivalent" claim in this repo was tested
+only against the repo's own reimplementation — a circular oracle. These
+tests compile the actual reference engine (hnswlib/hnswalg.h, header-only)
+and the reference's actual .adj loader (hnsw_service/hnsw_graph.cpp:14-151)
+from /root/reference (untrusted: compiled and run isolated as test
+subprocesses, never linked into hnsw_tpu) and verify:
+
+1. recall parity: native/builder.cpp's CPU engine matches real hnswlib
+   recall at equal M/efC/ef on the same data;
+2. .adj interop (export): a repo-exported .adj parses through the
+   reference's own loader to exactly the repo's neighbor lists;
+3. .adj interop (import): a graph exported by the real hnswlib engine
+   loads through io/adj.py to exactly what the reference loader sees.
+
+Skips cleanly when g++ or /root/reference is unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "hnswlib_xcheck"))
+import compile as xcheck_compile  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
+N, DIM, M, EF_C, NQ, K, EF = 4000, 32, 8, 100, 400, 10, 100
+
+
+def _binaries():
+    try:
+        b1 = xcheck_compile.build_xcheck_hnswlib()
+        b2 = xcheck_compile.build_xcheck_adj()
+    except RuntimeError as exc:
+        pytest.skip(f"xcheck compile failed: {exc}")
+    if b1 is None or b2 is None:
+        pytest.skip("g++ or /root/reference unavailable")
+    return b1, b2
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(64, DIM)).astype(np.float32)
+    x = centers[rng.integers(0, 64, N)] + 0.4 * rng.normal(
+        size=(N, DIM)
+    ).astype(np.float32)
+    q = x[rng.integers(0, N, NQ)] + 0.05 * rng.normal(size=(NQ, DIM)).astype(
+        np.float32
+    )
+    d = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(d, axis=1)[:, :K]
+    return x, q, gt
+
+
+@pytest.fixture(scope="module")
+def hnswlib_run(dataset, tmp_path_factory):
+    """Build+search with the real hnswlib engine; returns (ids, stats, adj)."""
+    bin1, _ = _binaries()
+    x, q, _ = dataset
+    d = tmp_path_factory.mktemp("xcheck")
+    x.tofile(d / "data.f32")
+    q.tofile(d / "q.f32")
+    r = subprocess.run(
+        [bin1, "build_search", str(d / "data.f32"), str(N), str(DIM),
+         str(M), str(EF_C), str(d / "q.f32"), str(NQ), str(K), str(EF),
+         str(d / "ids.i64"), str(d / "graph.adj")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json
+
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    ids = np.fromfile(d / "ids.i64", dtype=np.int64).reshape(NQ, K)
+    return ids, stats, str(d / "graph.adj")
+
+
+def _recall(ids, gt):
+    return float(
+        np.mean([len(set(ids[i]) & set(gt[i])) / K for i in range(len(gt))])
+    )
+
+
+def _parse_dump(path):
+    """Parse xcheck_adj's dump: {level: {id: [neighbors]}} + header."""
+    raw = np.fromfile(path, dtype=np.uint32)
+    pos = 0
+    entry, max_level, n_levels = raw[0], raw[1], raw[2]
+    pos = 3
+    levels = []
+    for _ in range(n_levels):
+        cnt = raw[pos]; pos += 1
+        m = {}
+        for _ in range(cnt):
+            nid, deg = raw[pos], raw[pos + 1]; pos += 2
+            m[int(nid)] = raw[pos:pos + deg].tolist(); pos += deg
+        levels.append(m)
+    assert pos == len(raw)
+    return int(entry), int(max_level), levels
+
+
+def _run_ref_loader(adj_path, tmp):
+    _, bin2 = _binaries()
+    dump = os.path.join(tmp, "dump.bin")
+    with open(os.devnull, "w") as devnull:
+        r = subprocess.run(
+            [bin2, adj_path, dump], stdout=devnull,
+            stderr=subprocess.PIPE, text=True, timeout=300,
+        )
+    assert r.returncode == 0, r.stderr[-2000:]
+    return _parse_dump(dump)
+
+
+def test_recall_parity_vs_real_hnswlib(dataset, hnswlib_run):
+    """native/builder.cpp's engine vs the real hnswlib at equal M/efC/ef."""
+    from hnsw_tpu.models.hnsw import HNSWIndex
+
+    x, q, gt = dataset
+    ref_ids, stats, _ = hnswlib_run
+    ref_recall = _recall(ref_ids, gt)
+
+    idx = HNSWIndex("l2", dim=DIM, m=M, ef_construction=EF_C)
+    idx.add_items(x)
+    _, ours, _ = idx.search_cpu(q, k=K, ef=EF)
+    our_recall = _recall(ours, gt)
+
+    # Different level RNGs -> different graphs; the gate is recall parity.
+    assert ref_recall >= 0.90, f"reference engine sanity: {ref_recall}"
+    assert our_recall >= ref_recall - 0.01, (
+        f"ours {our_recall:.4f} vs real hnswlib {ref_recall:.4f}"
+    )
+
+
+def test_adj_export_loads_in_reference_loader(dataset, tmp_path):
+    """Repo-exported .adj -> reference's own loader -> identical topology."""
+    from hnsw_tpu.models.hnsw import HNSWIndex
+
+    x, _, _ = dataset
+    idx = HNSWIndex("l2", dim=DIM, m=M, ef_construction=EF_C)
+    idx.add_items(x[:1500])
+    adj = str(tmp_path / "ours.adj")
+    idx._builder.export_adj(adj)
+    g = idx._builder.export_graph()
+
+    entry, max_level, levels = _run_ref_loader(adj, str(tmp_path))
+    assert entry == g.entry_point and max_level == g.max_level
+    assert len(levels) == g.max_level + 1
+    for lvl, m in enumerate(levels):
+        expect_nodes = [
+            i for i in range(g.num_nodes) if g.node_level[i] >= lvl
+        ]
+        # dump keys are the .adj label field; labels are sequential here
+        assert sorted(m.keys()) == expect_nodes
+        for nid in expect_nodes:
+            assert m[nid] == g.neighbors(nid, lvl).tolist(), (
+                f"level {lvl} node {nid}"
+            )
+
+
+def test_adj_import_from_real_hnswlib(hnswlib_run, tmp_path):
+    """Real-hnswlib-exported .adj -> io/adj.py == the reference loader."""
+    from hnsw_tpu.core.graph import check_integrity
+    from hnsw_tpu.io.adj import read_adj
+
+    _, _, adj_path = hnswlib_run
+    g = read_adj(adj_path)
+    # require_inbound=False: a real hnswlib graph may legitimately leave a
+    # node with zero inbound level-0 edges (its own checkIntegrity counts
+    # inbound across ALL levels, hnswalg.h:1397-1408).
+    check_integrity(g, require_inbound=False)
+    entry, max_level, levels = _run_ref_loader(adj_path, str(tmp_path))
+    assert g.entry_point == entry and g.max_level == max_level
+    for lvl, m in enumerate(levels):
+        for nid, nbrs in m.items():
+            assert g.neighbors(nid, lvl).tolist() == nbrs, (
+                f"level {lvl} node {nid}"
+            )
+    # spot the level-0 coverage: every node present
+    assert sorted(levels[0].keys()) == list(range(N))

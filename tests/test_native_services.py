@@ -151,6 +151,50 @@ def test_native_query_info(native_stack):
         assert j["nodes"] == N and j["dim"] == DIM and j["mode"] == mode
 
 
+def test_concurrent_connection_storm(native_stack):
+    """httpkit's fixed worker pool + bounded queue must survive 200
+    simultaneous connections (the old thread-per-connection design spawned
+    unbounded threads; cpp-httplib — the reference's server — uses a bounded
+    pool). Every request must eventually get a correct answer, and idle
+    connections must not wedge the pool for later clients."""
+    import threading
+
+    x, idx, _, q_port, _ = native_stack
+    n_conn, errs, oks = 200, [], []
+    lock = threading.Lock()
+
+    def one(i):
+        try:
+            body = json.dumps(
+                {"query": x[i % N].tolist(), "k": 3, "ef": 50}
+            ).encode()
+            code, resp = _post(
+                f"http://127.0.0.1:{q_port}/search", body, timeout=60
+            )
+            j = json.loads(resp)
+            assert code == 200 and j["results"][0]["id"] == i % N
+            with lock:
+                oks.append(i)
+        except Exception as exc:  # collected, asserted below
+            with lock:
+                errs.append((i, repr(exc)))
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(n_conn)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs, errs[:5]
+    assert len(oks) == n_conn
+
+    # pool still serves after the storm (no leaked/starved workers)
+    code, resp = _post(
+        f"http://127.0.0.1:{q_port}/search",
+        json.dumps({"query": x[0].tolist(), "k": 3, "ef": 50}).encode(),
+    )
+    assert code == 200 and json.loads(resp)["results"][0]["id"] == 0
+
+
 def test_bulk_fetch_retries_until_storage_up(tmp_path):
     """Fault injection (reference retry x3 with backoff,
     hnsw_graph.cpp:184-209): the normal-mode query service starts while the
