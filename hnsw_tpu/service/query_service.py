@@ -21,13 +21,21 @@ Two modes, like the reference (main.cpp:51-147):
 Concurrent single-query requests are coalesced by a micro-batcher into one
 device call (the reference handles them one pointer-chase at a time).
 
-Speed knobs (service-wide flags, reported by /info): `--stop_frontier` /
+Speed knobs (flags, reported by /info): `--stop_frontier` /
 `--stop_patience` enable the adaptive-termination speed mode, `--max_iters`
 caps the lockstep hop budget (batch time = slowest query), `--rescore M`
 re-ranks the top M candidates exactly (default: auto, 4k on the int8 tier),
 and `--auto_speed P` tunes frontier + budget automatically at startup from
 a hop-distribution probe at percentile P (e.g. 99).
-They are static under jit, so they are per-service, not per-request.
+
+These values are static under jit — but that is a MENU, not a wall:
+`--modes '{"speed": {"stop_frontier": 1.15, "max_iters": 14,
+"entry_seeds": 4}, "quality": {}}'` registers named SearchParams variants,
+each its own compiled program (warmed at startup), and a request routes
+with `"mode": "speed"` — per-request quality-vs-speed in one process, the
+analog of the reference's per-request ef/k overrides
+(hnsw_service/main.cpp:63-64,118-120). The flat flags define the
+"default" mode.
 """
 
 from __future__ import annotations
@@ -47,10 +55,14 @@ from hnsw_tpu.utils.rss import current_rss_kb
 class _Engine:
     """Device-resident search state shared by both modes."""
 
+    #: knobs a named mode may override (everything jit-static per variant)
+    MODE_KEYS = ("stop_frontier", "stop_patience", "rescore", "max_iters",
+                 "entry_seeds", "seed_pool")
+
     def __init__(self, vectors_np, graph, space, default_ef, default_k, mode,
                  storage=None, deleted=None, stop_frontier=0.0,
                  stop_patience=0, rescore=None, max_iters=0,
-                 auto_speed=0.0, entry_seeds=0, seed_pool=0):
+                 auto_speed=0.0, entry_seeds=0, seed_pool=0, modes=None):
         import jax
         import jax.numpy as jnp
 
@@ -101,16 +113,42 @@ class _Engine:
         # landmark-seeded entry (SearchParams.entry_seeds analog): one MXU
         # matmul over the upper-level nodes replaces the greedy descent
         self.entry_seeds = int(entry_seeds)
-        self._lm = None
-        if self.entry_seeds > 0:
-            from hnsw_tpu.models.hnsw import landmark_arrays
-
-            # seed_pool: strided level-0 landmarks beyond the upper set
-            # (SearchParams.seed_pool analog)
-            self._lm = landmark_arrays(self.dg, self.x, self.sq,
-                                       pool_extra=int(seed_pool))
+        self.seed_pool = int(seed_pool)
+        self._lm_cache: dict = {}  # pool_extra -> landmark arrays (or None)
         if auto_speed:
             self._calibrate(float(auto_speed))
+        # named mode menu: "default" = the flat knobs above (post-
+        # calibration); each extra mode overrides a subset of MODE_KEYS and
+        # compiles as its own program, routed per request via "mode"
+        base = {k: getattr(self, k) for k in self.MODE_KEYS}
+        self.modes = {"default": base}
+        for name, over in (modes or {}).items():
+            bad = set(over) - set(self.MODE_KEYS)
+            if bad:
+                raise ValueError(
+                    f"mode {name!r}: unknown keys {sorted(bad)} "
+                    f"(allowed: {list(self.MODE_KEYS)})"
+                )
+            self.modes[name] = {**base, **over}
+
+    def _landmarks(self, pool_extra: int):
+        """Landmark arrays for the seeded entry, cached per pool size
+        (modes with different seed_pool need different pools)."""
+        pool_extra = int(pool_extra)
+        if pool_extra not in self._lm_cache:
+            from hnsw_tpu.models.hnsw import landmark_arrays
+
+            self._lm_cache[pool_extra] = landmark_arrays(
+                self.dg, self.x, self.sq, pool_extra=pool_extra
+            )
+        return self._lm_cache[pool_extra]
+
+    def warm_modes(self, batch: int = 16):
+        """Compile every registered mode once at startup so the first real
+        request of any mode never pays a cold jit compile."""
+        q = np.zeros((batch, self.dim), dtype=np.float32)
+        for name in self.modes:
+            self.search(q, self.default_k, self.default_ef, mode=name)
 
     def _calibrate(self, percentile, frontier=1.15, sample=2048, margin=2):
         """Startup auto-tune of the speed mode (the service twin of
@@ -153,26 +191,33 @@ class _Engine:
         if not self.max_iters and cap < default_cap:
             self.max_iters = cap
 
-    def _seed_kwargs(self, q, k, ef):
+    def _seed_kwargs(self, q, k, ef, entry_seeds=None, seed_pool=None):
         """seed_ids/seed_dists for the landmark-seeded entry mode (empty
         dict when off or no landmarks)."""
-        if self.entry_seeds <= 0 or self._lm is None:
+        entry_seeds = self.entry_seeds if entry_seeds is None else int(entry_seeds)
+        seed_pool = self.seed_pool if seed_pool is None else int(seed_pool)
+        if entry_seeds <= 0:
+            return {}
+        lm = self._landmarks(seed_pool)
+        if lm is None:
             return {}
         import jax.numpy as jnp
 
         from hnsw_tpu.ops.topk import bruteforce_topk
 
-        lv, li, lsq = self._lm
-        s = min(self.entry_seeds, int(li.shape[0]), max(ef, k))
+        lv, li, lsq = lm
+        s = min(entry_seeds, int(li.shape[0]), max(ef, k))
         sd, si = bruteforce_topk(q, lv, s, self.space, x_sq_norms=lsq)
         return {"seed_ids": jnp.take(li, si, axis=0), "seed_dists": sd}
 
-    def search(self, queries: np.ndarray, k: int, ef: int, entry_ids=None):
+    def search(self, queries: np.ndarray, k: int, ef: int, entry_ids=None,
+               mode: str | None = None):
         import jax.numpy as jnp
 
         from hnsw_tpu.models.hnsw import inline_search_kwargs
         from hnsw_tpu.ops.traversal import search_batch
 
+        cfg = self.modes[mode or "default"]
         b0 = queries.shape[0]
         b_pad = ((b0 + 15) // 16) * 16
         q = np.zeros((b_pad, self.dim), dtype=np.float32)
@@ -185,7 +230,7 @@ class _Engine:
         # exact re-rank of the top candidates (auto on the quantized tiers,
         # the same policy as HNSWIndex.search); the search must RETURN
         # m_res candidates for the rescore to have anything to re-rank
-        m_res = self.rescore
+        m_res = cfg["rescore"]
         if m_res is None:
             kind = self.inline[0] if self.inline else "off"
             m_res = 4 * k if kind in ("unified8", "unified4") else 0
@@ -193,7 +238,8 @@ class _Engine:
         k_search = max(k, m_res) if m_res >= k else k
         qd = jnp.asarray(q)
         seed_kwargs = {} if ent is not None else self._seed_kwargs(
-            qd, k_search, max(ef, k_search)
+            qd, k_search, max(ef, k_search),
+            entry_seeds=cfg["entry_seeds"], seed_pool=cfg["seed_pool"],
         )
         res = search_batch(
             self.x,
@@ -209,9 +255,9 @@ class _Engine:
             eligible=self.eligible,
             has_mask=self.eligible is not None,
             interpret=self.interpret,
-            stop_frontier=self.stop_frontier,
-            stop_patience=self.stop_patience,
-            max_iters=self.max_iters,
+            stop_frontier=cfg["stop_frontier"],
+            stop_patience=cfg["stop_patience"],
+            max_iters=cfg["max_iters"],
             **seed_kwargs,
         )
         if m_res >= k and m_res > 0:
@@ -243,11 +289,11 @@ class _MicroBatcher:
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
-    def submit(self, query, k, ef, entry_id):
+    def submit(self, query, k, ef, entry_id, mode=None):
         ev = threading.Event()
         out = {}
         with self.lock:
-            self.pending.append((query, k, ef, entry_id, ev, out))
+            self.pending.append((query, k, ef, entry_id, ev, out, mode))
             self.kick.notify()
         ev.wait()
         if "error" in out:
@@ -282,11 +328,12 @@ class _MicroBatcher:
                 self.pending = self.pending[self.max_batch :]
             if not batch:
                 continue
-            # group by the (k, ef) BUCKET to keep shapes static per call
+            # group by the (k, ef) BUCKET + mode to keep shapes static per call
             groups: dict = {}
             for item in batch:
-                groups.setdefault(self._bucket(item[1], item[2]), []).append(item)
-            for (k, ef), items in groups.items():
+                key = self._bucket(item[1], item[2]) + (item[6],)
+                groups.setdefault(key, []).append(item)
+            for (k, ef, mode), items in groups.items():
                 q = np.stack([it[0] for it in items])
                 ents = [it[3] for it in items]
                 ent = (
@@ -300,7 +347,7 @@ class _MicroBatcher:
                     # use graph entry for those rows
                     ent = np.where(ent < 0, int(self.engine.dg.entry_point), ent)
                 try:
-                    d, l = self.engine.search(q, k, ef, ent)
+                    d, l = self.engine.search(q, k, ef, ent, mode=mode)
                     for i, it in enumerate(items):
                         # slice back to the request's own k (bucket k >= it)
                         it[5]["dists"] = d[i][: it[1]]
@@ -368,11 +415,12 @@ def build_engine(
     auto_speed: float = 0.0,
     entry_seeds: int = 0,
     seed_pool: int = 0,
+    modes: dict | None = None,
 ) -> _Engine:
     speed = dict(
         stop_frontier=stop_frontier, stop_patience=stop_patience,
         rescore=rescore, max_iters=max_iters, auto_speed=auto_speed,
-        entry_seeds=entry_seeds, seed_pool=seed_pool,
+        entry_seeds=entry_seeds, seed_pool=seed_pool, modes=modes,
     )
     if not optimized:
         from hnsw_tpu.io.checkpoint import load_checkpoint
@@ -430,6 +478,8 @@ class QueryHandler(BaseHTTPRequestHandler):
                 info["rescore"] = self.engine.rescore
             if self.engine.storage:
                 info["storage"] = self.engine.storage
+            if len(self.engine.modes) > 1:
+                info["modes"] = self.engine.modes
             self._json(200, info)
         elif self.path.startswith("/mem"):
             self._json(200, {"rss_kb": current_rss_kb()})
@@ -452,7 +502,14 @@ class QueryHandler(BaseHTTPRequestHandler):
                 k = int(j.get("k", self.engine.default_k))
                 ef = int(j.get("ef", self.engine.default_ef))
                 entry = j.get("entry_id")
-                d, l = self.batcher.submit(q, k, ef, entry)
+                mode = j.get("mode")
+                if mode is not None and mode not in self.engine.modes:
+                    self._json(400, {
+                        "error": f"unknown mode {mode!r}",
+                        "modes": sorted(self.engine.modes),
+                    })
+                    return
+                d, l = self.batcher.submit(q, k, ef, entry, mode)
                 results = [
                     {"id": int(l[i]), "distance": float(d[i])}
                     for i in range(len(l))
@@ -466,7 +523,14 @@ class QueryHandler(BaseHTTPRequestHandler):
                 q = np.asarray(j["queries"], dtype=np.float32)
                 k = int(j.get("k", self.engine.default_k))
                 ef = int(j.get("ef", self.engine.default_ef))
-                d, l = self.engine.search(q, k, ef)
+                mode = j.get("mode")
+                if mode is not None and mode not in self.engine.modes:
+                    self._json(400, {
+                        "error": f"unknown mode {mode!r}",
+                        "modes": sorted(self.engine.modes),
+                    })
+                    return
+                d, l = self.engine.search(q, k, ef, mode=mode)
                 self._json(
                     200,
                     {
@@ -520,6 +584,14 @@ def main():
     # >0 (with --entry_seeds): add this many strided level-0 nodes to the
     # landmark pool (closer beam start at ~no extra matmul cost)
     ap.add_argument("--seed_pool", type=int, default=0)
+    # named per-request mode menu, e.g.
+    # '{"speed": {"stop_frontier": 1.15, "max_iters": 14, "entry_seeds": 4},
+    #   "high_recall": {"entry_seeds": 8, "seed_pool": 65536}}'
+    # — each mode is precompiled at startup and selected per request via
+    # the JSON "mode" field; the flat flags above define "default"
+    ap.add_argument("--modes", type=str, default=None)
+    # warm (precompile) every mode at startup so no request pays a cold jit
+    ap.add_argument("--warm", type=int, default=1)
     args = ap.parse_args()
     optimized = args.optimized in ("1", "true", "True")
     engine = build_engine(
@@ -528,7 +600,10 @@ def main():
         rescore=args.rescore, max_iters=args.max_iters,
         auto_speed=args.auto_speed, entry_seeds=args.entry_seeds,
         seed_pool=args.seed_pool,
+        modes=json.loads(args.modes) if args.modes else None,
     )
+    if args.warm:
+        engine.warm_modes()
     # all hot state now lives in device HBM; return the build-time host
     # buffers (checkpoint arrays / bulk-fetch staging) to the OS so the
     # serving RSS reflects steady state, not the transient peak

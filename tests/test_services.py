@@ -305,7 +305,7 @@ def test_engine_entry_seeds(tmp_path):
     seeded = query_service.build_engine(
         ckpt, False, "", DIM, 64, 10, entry_seeds=4, auto_speed=99.9,
     )
-    assert seeded._lm is not None
+    assert seeded._landmarks(0) is not None
     q = x[:32]
     _, l_plain = plain.search(q, k=10, ef=64)
     _, l_seed = seeded.search(q, k=10, ef=64)
@@ -317,3 +317,109 @@ def test_engine_entry_seeds(tmp_path):
     # per-request entry override still works (seeding is skipped for it)
     _, l_ent = seeded.search(q, k=10, ef=64, entry_ids=np.zeros(32, np.int32))
     assert (l_ent[:, 0] == np.arange(32)).mean() >= 0.9
+
+
+def test_engine_mode_menu(tmp_path):
+    """Per-request speed/quality routing (the static-under-jit knobs become
+    a precompiled MENU): one engine serves a crippled 'fast' mode and the
+    exhaustive 'quality' mode, selected per request, with measurably
+    different quality — the analog of the reference's per-request ef/k
+    overrides (hnsw_service/main.cpp:63-64,118-120)."""
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=100)
+    idx.add_items(x)
+    ckpt = str(tmp_path / "menu.npz")
+    idx.save(ckpt)
+
+    from hnsw_tpu.service import query_service
+
+    eng = query_service.build_engine(
+        ckpt, False, "", DIM, 64, 10,
+        modes={"fast": {"stop_frontier": 1.05, "max_iters": 2},
+               "quality": {}},
+    )
+    eng.warm_modes()
+    q = x[:32] + 0.05 * rng.normal(size=(32, DIM)).astype(np.float32)
+    d = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(d, axis=1)[:, :10]
+
+    def recall(l):
+        return np.mean([len(set(l[i]) & set(gt[i])) / 10 for i in range(32)])
+
+    _, l_fast = eng.search(q, k=10, ef=64, mode="fast")
+    _, l_qual = eng.search(q, k=10, ef=64, mode="quality")
+    _, l_def = eng.search(q, k=10, ef=64)  # default == quality here
+    r_fast, r_qual, r_def = recall(l_fast), recall(l_qual), recall(l_def)
+    assert r_qual > r_fast, (r_qual, r_fast)  # 2 hops can't match exhaustive
+    assert r_qual >= 0.9
+    assert r_def == r_qual
+    # unknown mode -> loud error, not silent default
+    with pytest.raises(KeyError):
+        eng.search(q, k=10, ef=64, mode="nope")
+    # mode configs with unknown knob names are rejected at build time
+    with pytest.raises(ValueError):
+        query_service.build_engine(
+            ckpt, False, "", DIM, 64, 10, modes={"bad": {"frontier": 1.0}}
+        )
+
+
+def test_http_mode_routing(tmp_path):
+    """HTTP layer: 'mode' routes through the micro-batcher, distinct modes
+    don't coalesce into one device call, /info advertises the menu, and an
+    unknown mode is a 400 with the menu listed."""
+    rng = np.random.default_rng(19)
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=100)
+    idx.add_items(x)
+    ckpt = str(tmp_path / "route.npz")
+    idx.save(ckpt)
+
+    from hnsw_tpu.service import query_service
+
+    eng = query_service.build_engine(
+        ckpt, False, "", DIM, 64, 10,
+        modes={"fast": {"stop_frontier": 1.05, "max_iters": 2},
+               "quality": {}},
+    )
+    eng.warm_modes()
+
+    class MenuHandler(query_service.QueryHandler):
+        pass
+
+    MenuHandler.engine = eng
+    MenuHandler.batcher = query_service._MicroBatcher(eng)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), MenuHandler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        code, body = _get(f"{base}/info")
+        info = json.loads(body)
+        assert set(info["modes"]) == {"default", "fast", "quality"}
+
+        q = x[5].tolist()
+        code_f, body_f = _post(
+            f"{base}/search",
+            json.dumps({"query": q, "k": 10, "ef": 64, "mode": "fast"}).encode(),
+        )
+        code_q, body_q = _post(
+            f"{base}/search",
+            json.dumps({"query": q, "k": 10, "ef": 64, "mode": "quality"}).encode(),
+        )
+        assert code_f == 200 and code_q == 200
+        # self-query: quality finds itself first; both return valid results
+        assert json.loads(body_q)["results"][0]["id"] == 5
+        assert len(json.loads(body_f)["results"]) > 0
+
+        try:
+            _post(
+                f"{base}/search",
+                json.dumps({"query": q, "k": 10, "mode": "warp"}).encode(),
+            )
+            assert False, "unknown mode must 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "modes" in json.loads(e.read())
+    finally:
+        httpd.shutdown()
