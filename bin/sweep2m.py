@@ -25,7 +25,12 @@ def main():
     from hnsw_tpu.core.spaces import L2Space
     from hnsw_tpu.models.bruteforce import BruteforceIndex
     from hnsw_tpu.models.bulk_build import bulk_build
-    from hnsw_tpu.models.hnsw import _rescore_topk, inline_search_kwargs
+    from hnsw_tpu.models.hnsw import (
+        _rescore_topk,
+        inline_search_kwargs,
+        landmark_arrays,
+    )
+    from hnsw_tpu.ops.topk import bruteforce_topk
     from hnsw_tpu.ops.traversal import search_batch
     from hnsw_tpu.utils.retry import device_retry
 
@@ -77,11 +82,35 @@ def main():
 
     qd = jnp.asarray(q)
 
-    def measure(label, rescore_m=0, ef=ef, **stop_kwargs):
+    # Landmark arrays for the seeded-entry modes (SearchParams.entry_seeds):
+    # one per pool size, built once — the per-batch seed matmul itself runs
+    # INSIDE the measured loop so seeded qps numbers are honest.
+    _lm_cache = {}
+
+    def lm_for(pool):
+        if pool not in _lm_cache:
+            _lm_cache[pool] = landmark_arrays(dg, vectors, sq,
+                                              pool_extra=pool)
+        return _lm_cache[pool]
+
+    def seed_kwargs_for(queries, entry_seeds, seed_pool):
+        if not entry_seeds:
+            return {}
+        lm = lm_for(seed_pool)
+        if lm is None:
+            return {}
+        lv, li, lsq = lm
+        s = min(entry_seeds, int(li.shape[0]))
+        sd, si = bruteforce_topk(queries, lv, s, "l2", x_sq_norms=lsq)
+        return {"seed_ids": jnp.take(li, si, axis=0), "seed_dists": sd}
+
+    def measure(label, rescore_m=0, ef=ef, entry_seeds=0, seed_pool=0,
+                **stop_kwargs):
         def run():
             r = search_batch(
                 vectors, dg, qd, k=max(k, rescore_m), ef=ef, space="l2",
                 sq_norms=sq, **inline_search_kwargs(nbr_vec), expand=2,
+                **seed_kwargs_for(qd, entry_seeds, seed_pool),
                 **stop_kwargs,
             )
             if rescore_m:
@@ -111,9 +140,14 @@ def main():
         )
         qps = nq / dt
         print(f"{label:<26} recall@{k}={rec:.4f}  {qps:>9.0f} qps", flush=True)
-        return {"mode": label, "recall_at_10": round(rec, 4),
-                "qps": round(qps, 1), "rescore_m": rescore_m, "ef": ef,
-                **stop_kwargs}
+        rec_d = {"mode": label, "recall_at_10": round(rec, 4),
+                 "qps": round(qps, 1), "rescore_m": rescore_m, "ef": ef,
+                 **stop_kwargs}
+        if entry_seeds:
+            rec_d["entry_seeds"] = entry_seeds
+            if seed_pool:
+                rec_d["seed_pool"] = seed_pool
+        return rec_d
 
     results = [
         measure("quantized raw"),
@@ -144,18 +178,20 @@ def main():
     # here). Probe once and sweep caps from the tail of the LAST-IMPROVEMENT
     # distribution (what calibrate_speed_mode uses): iterations past a
     # query's last top-k improvement are provably wasted lockstep time.
-    def probe(probe_k=k, probe_ef=ef):
+    def probe(probe_k=k, probe_ef=ef, entry_seeds=0, seed_pool=0):
         r = search_batch(
             vectors, dg, qd, k=probe_k, ef=probe_ef, space="l2", sq_norms=sq,
             **inline_search_kwargs(nbr_vec), expand=2, stop_frontier=1.15,
+            **seed_kwargs_for(qd, entry_seeds, seed_pool),
             collect_metrics=True,
         )
         r.dists.block_until_ready()
         return np.asarray(r.hops), np.asarray(r.last_improve)
 
-    def tail_caps(tag, probe_k=k, probe_ef=ef):
+    def tail_caps(tag, probe_k=k, probe_ef=ef, entry_seeds=0, seed_pool=0):
         hops, last = device_retry(
-            lambda: probe(probe_k, probe_ef), attempts=5, base_sleep=15,
+            lambda: probe(probe_k, probe_ef, entry_seeds, seed_pool),
+            attempts=5, base_sleep=15,
             log=print,
         )
         print(
@@ -214,6 +250,75 @@ def main():
         )
         if wide_speed["recall_at_10"] >= 0.97:
             cap_mode = wide_speed
+
+    # Landmark-seeded entry (res/seed_exp.json: 1.5-2.3x at 100k/1M): one
+    # MXU matmul over the upper-level landmark set replaces the greedy
+    # descent and shifts the last-improvement tail left, so the viable
+    # lockstep budget drops. Budgets are recalibrated from the SEEDED tail —
+    # the descent-calibrated caps above would leave the win on the table.
+    # The seed matmul runs inside the measured loop (honest qps).
+    if lm_for(0) is not None:
+        seeded_anchor = measure("seeds4 + rescore40", rescore_m=40,
+                                entry_seeds=4)
+        results.append(seeded_anchor)
+        scaps = tail_caps("ef200 seeds4", entry_seeds=4)
+        seeded_budget = [
+            measure(f"seeds4 + rescore40 + f1.15 + budget {cap}",
+                    rescore_m=40, stop_frontier=1.15, max_iters=cap,
+                    entry_seeds=4)
+            for cap in sorted({max(c, 8) for c in scaps}, reverse=True)
+        ]
+        results.extend(seeded_budget)
+        s_speed = max(
+            (r for r in seeded_budget
+             if r["recall_at_10"] >= rs["recall_at_10"] - 0.005),
+            key=lambda r: r["qps"], default=None,
+        )
+        if s_speed is not None and s_speed["qps"] > speed["qps"]:
+            speed = s_speed
+
+        # Pooled high-recall serving mode (res/seed_pool_exp.json): a larger
+        # strided landmark pool starts the beam strictly closer — a recall
+        # lever. The pool read amortizes over the batch, so at these N the
+        # matmul cost is noise next to the traversal.
+        pool = min(max(n // 8, 65536), 262144)
+        pcaps = tail_caps(f"ef200 seeds8 pool{pool}", entry_seeds=8,
+                          seed_pool=pool)
+        pooled = [
+            measure(f"seeds8 pool{pool} + rescore40 + f1.15 + budget {cap}",
+                    rescore_m=40, stop_frontier=1.15, max_iters=cap,
+                    entry_seeds=8, seed_pool=pool)
+            for cap in sorted({max(c, 8) for c in pcaps}, reverse=True)[:2]
+        ]
+        results.extend(pooled)
+        # fastest pooled mode that clears the high-recall bar
+        bar = max(0.97, cap_mode["recall_at_10"] - 0.002)
+        best_pooled = max(
+            (r for r in pooled if r["recall_at_10"] >= bar),
+            key=lambda r: r["qps"], default=None,
+        )
+        if best_pooled is not None and best_pooled["qps"] > cap_mode["qps"]:
+            cap_mode = best_pooled
+
+        # Seeded wide-beam recovery (int4 tier): recalibrate the ef=320
+        # high-recall mode's budget from its own seeded tail.
+        if cap_mode.get("ef") == 320 or rs["recall_at_10"] < 0.97:
+            wcaps_s = tail_caps("ef320 seeds4", probe_k=160, probe_ef=320,
+                                entry_seeds=4)
+            wide_seeded = [
+                measure(f"seeds4 ef320 + rescore160 + f1.15 + budget {cap}",
+                        rescore_m=160, ef=320, stop_frontier=1.15,
+                        max_iters=cap, entry_seeds=4)
+                for cap in sorted({max(c, 8) for c in wcaps_s},
+                                  reverse=True)[:3]
+            ]
+            results.extend(wide_seeded)
+            ws = max(
+                (r for r in wide_seeded if r["recall_at_10"] >= 0.97),
+                key=lambda r: r["qps"], default=None,
+            )
+            if ws is not None and ws["qps"] > cap_mode["qps"]:
+                cap_mode = ws
 
     # single-core CPU baseline on the same graph
     t0 = time.time()

@@ -33,9 +33,22 @@ class Space:
         """Host-side normalization applied at insert time."""
         return np.asarray(x, dtype=np.float32).reshape(-1, self.dim)
 
+    def decode(self, x: np.ndarray) -> np.ndarray:
+        """Inverse of preprocess for data readback (getDataByLabel parity);
+        identity for spaces whose preprocess is lossy-free pass-through."""
+        return x
+
     @property
     def needs_sq_norms(self) -> bool:
         return self.name == "l2"
+
+    @property
+    def exact_i8(self) -> bool:
+        """True when stored values are integers in [-128, 127], so the int8
+        unified tier's codes are LOSSLESS (scale 1) and no rescore pass is
+        needed — the device capacity win of the reference's integer
+        L2SpaceI (hnswlib/space_l2.h:294-323) at zero recall cost."""
+        return False
 
     @property
     def persist_name(self) -> str:
@@ -52,6 +65,48 @@ class L2Space(Space):
 
     def __init__(self, dim: int, storage_dtype=jnp.float32):
         super().__init__(name="l2", dim=dim, storage_dtype=storage_dtype)
+
+
+class L2SpaceU8(Space):
+    """Exact uint8 squared-L2 space — full storage parity with the
+    reference's integer L2SpaceI (hnswlib/space_l2.h:294-323), which keeps
+    uint8 data losslessly at 1/4 the float bytes.
+
+    Values are shifted by -128 at insert/query time, so stored vectors are
+    integers in [-128, 127]: (a-128)-(b-128) == a-b, so every squared-L2
+    distance is unchanged, and with d <= 128 all intermediate sums stay
+    below 2^24 — exactly representable in f32 (and the shifted integers in
+    bf16), so EVERY device path (bf16 unified rows, the int8 unified tier
+    with scale-1 codes, MXU block distances, rescore) computes the exact
+    integer distance the reference's scalar uint8 loop returns. The int8
+    unified tier (`exact_i8`) thus becomes a LOSSLESS half-byte-per-value
+    row format: ~2x the bf16 tier's per-chip capacity at zero recall cost,
+    with the auto-rescore pass disabled (nothing to buy back)."""
+
+    def __init__(self, dim: int, storage_dtype=jnp.float32):
+        super().__init__(name="l2", dim=dim, storage_dtype=storage_dtype)
+
+    @property
+    def persist_name(self) -> str:
+        return "l2u8"
+
+    @property
+    def exact_i8(self) -> bool:
+        return True
+
+    def preprocess(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x)
+        if x.dtype != np.uint8:
+            xi = np.rint(np.asarray(x, dtype=np.float32))
+            if np.any(xi < 0) or np.any(xi > 255):
+                raise ValueError("l2u8 space requires values in [0, 255]")
+            x = xi
+        return (
+            np.asarray(x, dtype=np.float32).reshape(-1, self.dim) - 128.0
+        )
+
+    def decode(self, x: np.ndarray) -> np.ndarray:
+        return np.asarray(x, dtype=np.float32) + 128.0
 
 
 class IPSpace(Space):
@@ -86,10 +141,12 @@ class CosineSpace(Space):
 def get_space(name: str, dim: int, storage_dtype=jnp.float32) -> Space:
     if name == "l2":
         return L2Space(dim, storage_dtype)
+    if name == "l2u8":
+        return L2SpaceU8(dim, storage_dtype)
     if name == "ip":
         return IPSpace(dim, storage_dtype)
     if name == "cosine":
         return CosineSpace(dim, storage_dtype)
     raise ValueError(
-        f"unknown space {name!r} (expected 'l2', 'ip' or 'cosine')"
+        f"unknown space {name!r} (expected 'l2', 'l2u8', 'ip' or 'cosine')"
     )

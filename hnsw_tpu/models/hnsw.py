@@ -58,7 +58,7 @@ def _bucket(k: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("inline_kind", "has_sq"),
+    static_argnames=("inline_kind", "has_sq", "exact_i8"),
     donate_argnums=(0, 1, 2, 3, 4, 5, 6),
 )
 def _apply_row_deltas(
@@ -76,6 +76,7 @@ def _apply_row_deltas(
     *,
     inline_kind: str,  # "off" | "split" | "unified" | "unified8" | "unified4"
     has_sq: bool,
+    exact_i8: bool = False,  # unified8 codes are lossless scale-1 (L2SpaceU8)
 ):
     """Apply insert deltas to the device-resident index in place: append new
     vectors, scatter changed level-0 rows, refresh the affected inline
@@ -90,9 +91,18 @@ def _apply_row_deltas(
             nsq = jnp.sum(new_vecs.astype(jnp.float32) ** 2, axis=-1)
             sq = sq.at[new_ids].set(nsq)
         if inline_kind in ("unified8", "unified4"):
-            from hnsw_tpu.ops.pallas_gather import quantize_int4, quantize_int8
+            from hnsw_tpu.ops.pallas_gather import (
+                quantize_exact_i8,
+                quantize_int4,
+                quantize_int8,
+            )
 
-            quant = quantize_int4 if inline_kind == "unified4" else quantize_int8
+            if inline_kind == "unified4":
+                quant = quantize_int4
+            elif exact_i8:
+                quant = quantize_exact_i8
+            else:
+                quant = quantize_int8
             ncodes, nscales = quant(new_vecs)
             d_pad8 = codes.shape[1]
             if d_pad8 != ncodes.shape[1]:
@@ -406,12 +416,15 @@ class HNSWIndex:
 
     def get_items(self, labels) -> np.ndarray:
         """getDataByLabel analog (hnswalg.h:826-851), batched: stored
-        (preprocessed) vectors for external labels. Raises KeyError for an
-        absent or delete-marked label like the reference's throws."""
+        vectors for external labels, decoded back to the caller's input
+        domain (the shifted-uint8 space un-shifts; normalized spaces return
+        the stored normalized form, like the reference returns stored
+        bytes). Raises KeyError for an absent or delete-marked label like
+        the reference's throws."""
         labs = np.atleast_1d(np.asarray(labels, dtype=np.int64))
-        return np.stack(
+        return self.space.decode(np.stack(
             [self._builder.get_data_by_label(int(l)) for l in labs]
-        )
+        ))
 
     @property
     def graph(self) -> HNSWGraph:
@@ -465,6 +478,7 @@ class HNSWIndex:
             nbr_vec = build_inline_tables(
                 x, dg, self.dim, self.unified_max_bytes, SPLIT_MAX_BYTES,
                 upper_inline=self.upper_inline,
+                exact_i8=self.space.exact_i8,
             )
         deleted = np.zeros(n_pad, dtype=bool)
         deleted[:n] = self._builder.export_deleted().astype(bool)
@@ -582,6 +596,7 @@ class HNSWIndex:
                 jnp.asarray(rows_c),
                 inline_kind=kind,
                 has_sq=sq is not None,
+                exact_i8=self.space.exact_i8,
             )
         sq = sq_in if sq is not None else None
         if kind == "unified":
@@ -730,7 +745,12 @@ class HNSWIndex:
         m_res = params.rescore
         if m_res is None:
             kind = nbr_vec[0] if nbr_vec else "off"
-            m_res = 4 * params.k if kind in ("unified8", "unified4") else 0
+            # the exact-u8 space's unified8 codes are lossless (scale 1),
+            # so there is no quantization recall to buy back
+            lossy = kind == "unified4" or (
+                kind == "unified8" and not self.space.exact_i8
+            )
+            m_res = 4 * params.k if lossy else 0
         m_res = min(m_res, params.ef)
         # the rescore re-ranks the top m_res beam candidates, so the search
         # must RETURN that many — asking for k and rescoring "the top 4k"

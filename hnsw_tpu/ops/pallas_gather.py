@@ -330,6 +330,18 @@ def quantize_int8(vectors: Array) -> tuple[Array, Array]:
     return codes, scale.astype(jnp.float32)
 
 
+def quantize_exact_i8(vectors: Array) -> tuple[Array, Array]:
+    """Lossless int8 'quantization' for integer-valued data in [-128, 127]
+    (the shifted-uint8 L2SpaceU8 path, reference L2SpaceI parity,
+    hnswlib/space_l2.h:294-323): codes = round(x), scale = 1. The int8 hop
+    kernel dequants codes*scale in f32, so served distances are EXACT —
+    the unified8 tier becomes a half-byte-per-value lossless row format."""
+    codes = jnp.clip(
+        jnp.round(vectors.astype(jnp.float32)), -128, 127
+    ).astype(jnp.int8)
+    return codes, jnp.ones((vectors.shape[0],), jnp.float32)
+
+
 def pack_unified8_rows(
     codes: Array,  # [N_pad, D_pad] int8 (pre-quantized, lane-padded)
     scales: Array,  # [N_pad] f32
@@ -357,12 +369,13 @@ def pack_unified8_rows(
 
 
 def make_unified8_table_chunked(
-    vectors: Array, level0: Array, chunk: int = 1 << 17
+    vectors: Array, level0: Array, chunk: int = 1 << 17, exact: bool = False
 ) -> tuple[Array, Array, Array]:
     """Build the dense 2D int8 table [N_pad*s8, 128] plus the quantized
     (codes, scales) side tables (kept for delta refreshes and as the
     fallback distance source). Chunked donated accumulation bounds peak
-    HBM exactly like the bf16 builders."""
+    HBM exactly like the bf16 builders. `exact` uses the lossless scale-1
+    codes of the shifted-uint8 space (quantize_exact_i8)."""
     import functools as _ft
 
     n_pad, m0 = level0.shape
@@ -371,7 +384,7 @@ def make_unified8_table_chunked(
     sv8, s8 = unified8_row_sublanes(m0, d_pad)
     sent = n_pad - 1
 
-    codes, scales = quantize_int8(vectors)
+    codes, scales = (quantize_exact_i8 if exact else quantize_int8)(vectors)
     if d_pad != d:
         codes = jnp.pad(codes, ((0, 0), (0, d_pad - d)))
     codes = jax.block_until_ready(codes)
@@ -775,7 +788,8 @@ def hop_dist_unified(
 
 
 def build_inline_tables(
-    x, dg, dim, unified_max_bytes, split_max_bytes, upper_inline=True
+    x, dg, dim, unified_max_bytes, split_max_bytes, upper_inline=True,
+    exact_i8=False,
 ):
     """Choose and build the inline fast-path tables for a device graph —
     the ONE place the tier ladder lives (HNSWIndex._full_sync and the query
@@ -821,7 +835,9 @@ def build_inline_tables(
         and m0_pad * d_pad % 512 == 0
         and u8_bytes <= unified_max_bytes
     ):
-        table, codes, scales = make_unified8_table_chunked(x, dg.level0)
+        table, codes, scales = make_unified8_table_chunked(
+            x, dg.level0, exact=exact_i8
+        )
         # the quantized side tables stay live for row-delta refresh
         return ("unified8", table, upper_tabs(), codes, scales)
     # int4 rung: a quarter of the bf16 row (2.5KB/node at m0=32/d=128) —

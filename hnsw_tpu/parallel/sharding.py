@@ -290,11 +290,18 @@ def build_sharded_arrays(
         from hnsw_tpu.ops.pallas_gather import (
             pack_unified4_rows,
             pack_unified8_rows,
+            quantize_exact_i8,
             quantize_int4,
             unified4_row_sublanes,
         )
 
-        quant = quantize_int4 if kind == "unified4" else quantize_int8
+        if kind == "unified4":
+            quant = quantize_int4
+        elif space.exact_i8:
+            # shifted-uint8 space: scale-1 lossless codes (L2SpaceI parity)
+            quant = quantize_exact_i8
+        else:
+            quant = quantize_int8
         pack = pack_unified4_rows if kind == "unified4" else pack_unified8_rows
         codes, scales = jax.jit(
             jax.vmap(quant),
@@ -454,7 +461,7 @@ def sharded_landmark_arrays(
     static_argnames=(
         "k", "ef", "space", "expand", "max_iters", "mesh", "dp_axis",
         "shard_axis", "has_mask", "has_entry", "stop_patience",
-        "stop_frontier", "entry_seeds",
+        "stop_frontier", "entry_seeds", "exact_i8",
     ),
 )
 def sharded_search(
@@ -478,6 +485,7 @@ def sharded_search(
     stop_patience: int = 0,
     stop_frontier: float = 0.0,
     entry_seeds: int = 0,
+    exact_i8: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Search all shards and merge → (dists [B, k], labels [B, k] int64).
 
@@ -577,9 +585,9 @@ def sharded_search(
         # best candidates against its own f32 vectors before the merge, so
         # the all-gathered distances are exact and globally comparable (the
         # single-chip auto-rescore policy, models/hnsw.py)
-        m_res = (
-            min(4 * k, max(ef, k)) if kind in ("unified8", "unified4") else 0
-        )
+        # the exact-u8 space's unified8 codes are lossless — skip the rescore
+        lossy = kind == "unified4" or (kind == "unified8" and not exact_i8)
+        m_res = min(4 * k, max(ef, k)) if lossy else 0
         k_loc = max(k, m_res)
         res = search_batch(
             a1.vectors,
@@ -644,7 +652,7 @@ def _bucket(k: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "has_sq"),
+    static_argnames=("kind", "has_sq", "exact_i8"),
     donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8),
 )
 def _apply_sharded_row_deltas(
@@ -666,6 +674,7 @@ def _apply_sharded_row_deltas(
     *,
     kind: str,
     has_sq: bool,
+    exact_i8: bool = False,  # unified8 codes are lossless scale-1 (L2SpaceU8)
 ):
     """Sharded mirror of models.hnsw._apply_row_deltas, vmapped over the
     shard axis: every device applies its own shard's insert/update delta in
@@ -684,11 +693,17 @@ def _apply_sharded_row_deltas(
                 sq1 = sq1.at[nids].set(nsq)
             if kind in ("unified8", "unified4"):
                 from hnsw_tpu.ops.pallas_gather import (
+                    quantize_exact_i8,
                     quantize_int4,
                     quantize_int8,
                 )
 
-                q8 = quantize_int4 if kind == "unified4" else quantize_int8
+                if kind == "unified4":
+                    q8 = quantize_int4
+                elif exact_i8:
+                    q8 = quantize_exact_i8
+                else:
+                    q8 = quantize_int8
                 nc, ns = q8(nvecs)
                 if c1.shape[1] != nc.shape[1]:
                     nc = jnp.pad(nc, ((0, 0), (0, c1.shape[1] - nc.shape[1])))
@@ -964,6 +979,7 @@ class ShardedHNSWIndex:
             new_nn,
             kind=kind,
             has_sq=has_sq,
+            exact_i8=self.space.exact_i8,
         )
         rep = dict(
             vectors=x,
@@ -1270,6 +1286,7 @@ class ShardedHNSWIndex:
             stop_frontier=stop_frontier,
             max_iters=max_iters,
             entry_seeds=entry_seeds,
+            exact_i8=self.space.exact_i8,
         )
         return np.asarray(d)[:b0], np.asarray(l)[:b0]
 

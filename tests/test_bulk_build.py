@@ -2,6 +2,7 @@
 incremental host builder."""
 
 import numpy as np
+import pytest
 
 from hnsw_tpu.core.graph import check_integrity
 from hnsw_tpu.core.spaces import L2Space
@@ -17,6 +18,7 @@ def _recall(got, gt):
     return np.mean([len(set(got[i]) & set(gt[i])) / k for i in range(len(gt))])
 
 
+@pytest.mark.slow
 def test_bulk_build_recall_parity(rng):
     x = rng.normal(size=(N, DIM)).astype(np.float32)
     oracle = BruteforceIndex(L2Space(DIM))
@@ -40,6 +42,7 @@ def test_bulk_build_recall_parity(rng):
     assert r_bulk >= 0.9, r_bulk
 
 
+@pytest.mark.slow
 def test_bulk_build_seeded_waves(rng):
     """wave_entry_seeds (landmark-seeded wave entry) must preserve graph
     validity and recall parity with the unseeded wave build."""
@@ -67,6 +70,7 @@ def test_bulk_build_seeded_waves(rng):
     assert r_seeded >= 0.9, r_seeded
 
 
+@pytest.mark.slow
 def test_bulk_build_checkpoint_resume(rng, tmp_path, monkeypatch):
     """Elastic recovery: kill the build mid-wave, resume from the periodic
     checkpoint, and the finished index must match a straight-through build
@@ -110,6 +114,7 @@ def test_bulk_build_checkpoint_resume(rng, tmp_path, monkeypatch):
     assert _recall(labels, gt) >= 0.9
 
 
+@pytest.mark.slow
 def test_bulk_build_supports_incremental_after(rng):
     x = rng.normal(size=(800, DIM)).astype(np.float32)
     idx = bulk_build(x, m=8, ef_construction=64, first_wave=256)
@@ -123,6 +128,7 @@ def test_bulk_build_supports_incremental_after(rng):
     assert 1000 not in l[0]
 
 
+@pytest.mark.slow
 def test_bulk_build_recursive_upper(rng):
     """The recursive (device-wave) upper phase must match the serial host
     upper phase in graph validity and recall."""

@@ -224,6 +224,7 @@ def test_update_applies_as_row_delta():
 
 
 @pytest.mark.parametrize("kind", ["unified", "split"])
+@pytest.mark.slow
 def test_delta_applies_in_bounded_slices(rng, monkeypatch, kind):
     """Large deltas apply in DELTA_CHUNK-row slices (bulk-build waves dirty
     100k+ rows; a one-shot apply's gather transients spike past the HBM edge

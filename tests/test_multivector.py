@@ -2,6 +2,7 @@
 (reference semantics: hnswlib/stop_condition.h)."""
 
 import numpy as np
+import pytest
 
 from hnsw_tpu.models.hnsw import HNSWIndex
 from hnsw_tpu.models.multivector import MultiVectorIndex, epsilon_search
@@ -71,6 +72,7 @@ def test_multivector_doc_dist_is_min_over_vectors(rng):
     assert dd[0, 0] < 1e-3  # min over doc-7's vectors (exact hit on vs[2])
 
 
+@pytest.mark.slow
 def test_doc_flooding_still_returns_k_docs():
     """searchStopConditionClosest guarantee (hnswalg.h:1327-1378): one
     document flooding the beam with near-duplicate vectors must not starve
@@ -95,6 +97,7 @@ def test_doc_flooding_still_returns_k_docs():
     assert np.all(np.diff(dd[0][np.isfinite(dd[0])]) >= -1e-6)
 
 
+@pytest.mark.slow
 def test_epsilon_widen_past_initial_beam():
     """max_candidates is an independent bound: with far more in-range points
     than the initial beam, the search widens instead of silently truncating

@@ -3,6 +3,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hnsw_tpu.core.graph import graph_device_arrays, pad_vectors, round_up
 from hnsw_tpu.models.bruteforce import BruteforceIndex
@@ -130,6 +131,7 @@ def test_unified8_kernel_parity(rng):
     )
 
 
+@pytest.mark.slow
 def test_unified8_search_end_to_end(rng):
     """Force the int8 tier via a budget between the int8 and bf16 table
     sizes; search quality must match the bf16 path closely."""

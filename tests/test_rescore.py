@@ -3,6 +3,7 @@ candidates of a unified8-tier search are re-ranked against the
 full-precision vectors, recovering the quantization recall loss."""
 
 import numpy as np
+import pytest
 
 from hnsw_tpu.core.spaces import L2Space
 from hnsw_tpu.models.bruteforce import BruteforceIndex
@@ -21,6 +22,7 @@ def _force_unified8(idx):
     assert idx._device[5][0] == "unified8", idx._device[5][0]
 
 
+@pytest.mark.slow
 def test_rescore_recovers_exact_distances(rng):
     x = (rng.normal(size=(N, DIM)) * 3).astype(np.float32)
     idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=100)

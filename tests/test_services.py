@@ -222,6 +222,7 @@ def test_normal_mode_excludes_deleted(tmp_path):
     assert 5 not in set(int(v) for v in l[0])
 
 
+@pytest.mark.slow
 def test_engine_speed_mode_and_rescore(tmp_path):
     """Service speed knobs (adaptive termination + exact rescore): an
     engine built with --stop_frontier/--rescore equivalents must return
@@ -319,6 +320,7 @@ def test_engine_entry_seeds(tmp_path):
     assert (l_ent[:, 0] == np.arange(32)).mean() >= 0.9
 
 
+@pytest.mark.slow
 def test_engine_mode_menu(tmp_path):
     """Per-request speed/quality routing (the static-under-jit knobs become
     a precompiled MENU): one engine serves a crippled 'fast' mode and the

@@ -100,6 +100,7 @@ def test_sharded_save_load(tmp_path, data):
     np.testing.assert_allclose(d1, d2, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_filter_and_delete(data):
     """Single-chip parity on the sharded index (markDelete hnswalg.h:853-900,
     BaseFilterFunctor hnswlib.h:128-132): deleted labels never returned,
@@ -193,6 +194,7 @@ def test_sharded_inline_chunked_parity():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+@pytest.mark.slow
 def test_sharded_entry_seeds(data):
     """Landmark-seeded entry (SearchParams.entry_seeds parity): per-shard
     seed matmul replaces the greedy descent with recall within noise of the

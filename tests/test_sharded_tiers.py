@@ -12,6 +12,8 @@ from hnsw_tpu.core.spaces import L2Space
 from hnsw_tpu.models.bruteforce import BruteforceIndex
 from hnsw_tpu.parallel.sharding import ShardedHNSWIndex, build_sharded_arrays
 
+pytestmark = pytest.mark.slow  # multi-minute tier builds on the CPU mesh
+
 N, DIM = 3000, 32
 
 

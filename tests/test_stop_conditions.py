@@ -3,6 +3,7 @@ the BaseSearchStopCondition interface, hnswlib/hnswlib.h:134-150)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hnsw_tpu.core.spaces import L2Space
 from hnsw_tpu.models.bruteforce import BruteforceIndex
@@ -122,6 +123,7 @@ def test_hop_budget_caps_lockstep_iterations(rng):
     assert _recall(l1, gt) >= r_full - 0.05
 
 
+@pytest.mark.slow
 def test_calibrate_speed_mode_auto_budget(rng):
     """calibrate_speed_mode packages the headline tuning recipe: probe the
     frontier-stopped hop distribution on self-queries, cap max_iters at its
