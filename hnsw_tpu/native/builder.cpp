@@ -645,14 +645,34 @@ struct HnswBuilder {
     }
   }
 
+  // Snapshot a node's neighbor list at a level under its stripe lock
+  // (getConnectionsWithLock analog, hnswalg.h:1145-1153).
+  std::vector<uint32_t> neighbor_snapshot(uint32_t id, int level) {
+    std::lock_guard<std::mutex> g(lock_of(id));
+    int cnt;
+    const int32_t* nb = neighbors(id, level, &cnt);
+    std::vector<uint32_t> out;
+    out.reserve(cnt);
+    for (int j = 0; j < cnt; ++j)
+      if (nb[j] >= 0) out.push_back(uint32_t(nb[j]));
+    return out;
+  }
+
   // Update an existing element's vector and repair its links (updatePoint /
-  // repairConnectionsForUpdate semantics, hnswalg.h:995-1150, simplified to
-  // a full re-link of the node at its existing levels). The vector change
-  // propagates to the device as a row delta: mark_vec records the id, and
-  // flush_updates later marks every level-0 in-neighbor dirty (their inline
-  // rows embed this vector). Upper-table rows embed it too when the node
-  // lives above level 0 — upper tables are small and rebuilt wholesale on
-  // upper_dirty.
+  // repairConnectionsForUpdate semantics, hnswalg.h:995-1150). Two phases,
+  // matching the reference's algorithm:
+  //   1. Neighborhood repair (hnswalg.h:1007-1068): at each of the node's
+  //      levels, every current 1-hop neighbor re-selects its own links from
+  //      the 2-hop candidate set around the updated node (which includes
+  //      the node with its NEW vector) — under churn this lets neighbors
+  //      drop/keep the moved point on merit instead of keeping stale edges.
+  //   2. Re-link the node itself from a fresh entry descent
+  //      (repairConnectionsForUpdate, hnswalg.h:1071-1141).
+  // The vector change propagates to the device as a row delta: mark_vec
+  // records the id, and flush_updates later marks every level-0 in-neighbor
+  // dirty (their inline rows embed this vector). Upper-table rows embed it
+  // too when the node lives above level 0 — upper tables are small and
+  // rebuilt wholesale on upper_dirty.
   void update(uint32_t id, const float* v) {
     {
       // drains concurrent searches: their reads of this vector are done
@@ -670,6 +690,48 @@ struct HnswBuilder {
     }
     if (n == 1) return;
     int level = node_level[id];
+
+    // Phase 1: neighborhood repair (hnswalg.h:1007-1068). The reference
+    // samples neighbors with updateNeighborProbability; the only caller
+    // (updatePoint from addPoint) passes 1.0, so every neighbor repairs.
+    for (int l = 0; l <= level; ++l) {
+      std::vector<uint32_t> one_hop = neighbor_snapshot(id, l);
+      if (one_hop.empty()) continue;
+      std::unordered_set<uint32_t> cand_set;
+      cand_set.insert(id);
+      for (uint32_t nb : one_hop) {
+        cand_set.insert(nb);
+        for (uint32_t nb2 : neighbor_snapshot(nb, l)) cand_set.insert(nb2);
+      }
+      int m_cap = l == 0 ? maxM0 : M;
+      for (uint32_t neigh : one_hop) {
+        // closest min(efC, |sCand\{neigh}|) candidates by distance to the
+        // neighbor, then the diversity heuristic (hnswalg.h:1034-1058)
+        std::vector<Cand> cands;
+        cands.reserve(cand_set.size());
+        for (uint32_t c : cand_set) {
+          if (c == neigh) continue;
+          cands.push_back({dist(vec(neigh), vec(c)), c});
+        }
+        if (cands.empty()) continue;
+        if (cands.size() > size_t(ef_construction)) {
+          std::nth_element(
+              cands.begin(), cands.begin() + ef_construction, cands.end(),
+              [](const Cand& a, const Cand& b) { return a.dist < b.dist; });
+          cands.resize(ef_construction);
+        }
+        select_neighbors(cands, m_cap);
+        std::lock_guard<std::mutex> g(lock_of(neigh));
+        int32_t* cntp;
+        int32_t* row = mutable_neighbors(neigh, l, &cntp);
+        *cntp = 0;
+        for (const Cand& c : cands) row[(*cntp)++] = int32_t(c.id);
+        for (int j = *cntp; j < m_cap; ++j) row[j] = -1;
+        if (l == 0) mark0(neigh); else upper_dirty = true;
+      }
+    }
+
+    // Phase 2: re-link the node itself (repairConnectionsForUpdate).
     uint32_t ep = uint32_t(entry_point);
     if (ep == id) {
       // find any other node to use as the descent entry

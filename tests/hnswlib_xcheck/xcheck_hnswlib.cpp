@@ -8,6 +8,12 @@
 // Usage:
 //   xcheck_hnswlib build_search <data.f32> <n> <dim> <M> <efC> \
 //       <queries.f32> <nq> <k> <ef> <out_ids.i64> [adj_out]
+//   xcheck_hnswlib build_churn_search ... same args ... \
+//       <upd.f32> <upd_ids.u32> <nu>
+//     (after the build, re-addPoint nu existing labels with new vectors —
+//      hnswlib routes those through updatePoint/repairConnectionsForUpdate,
+//      hnswalg.h:965-1150 — then search; the update-churn semantics
+//      baseline for native/builder.cpp's update().)
 //
 // Reads raw little-endian float32 row-major arrays, builds a
 // HierarchicalNSW<float> over an L2Space (single thread, sequential
@@ -67,9 +73,15 @@ static void export_adj(hnswlib::HierarchicalNSW<float> &alg,
 }
 
 int main(int argc, char **argv) {
-    if (argc < 11 || std::string(argv[1]) != "build_search") {
+    std::string mode = argc > 1 ? argv[1] : "";
+    bool churn = mode == "build_churn_search";
+    if (argc < 11 || (mode != "build_search" && !churn) ||
+        (churn && argc < 15)) {
         fprintf(stderr, "usage: %s build_search data n dim M efC queries nq "
-                        "k ef out_ids [adj_out]\n", argv[0]);
+                        "k ef out_ids [adj_out]\n"
+                        "       %s build_churn_search data n dim M efC "
+                        "queries nq k ef out_ids upd.f32 "
+                        "upd_ids.u32 nu\n", argv[0], argv[0]);
         return 2;
     }
     std::string data_path = argv[2];
@@ -82,7 +94,8 @@ int main(int argc, char **argv) {
     size_t k = strtoull(argv[9], nullptr, 10);
     size_t ef = strtoull(argv[10], nullptr, 10);
     std::string out_path = argv[11];
-    std::string adj_out = argc > 12 ? argv[12] : "";
+    // churn mode repurposes argv[12..14] for the update stream (no adj)
+    std::string adj_out = (!churn && argc > 12) ? argv[12] : "";
 
     std::vector<float> data = read_f32(data_path, n * dim);
     std::vector<float> queries = read_f32(q_path, nq * dim);
@@ -96,6 +109,25 @@ int main(int argc, char **argv) {
     double build_s =
         std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
             .count();
+
+    double churn_s = 0.0;
+    if (churn) {
+        size_t nu = strtoull(argv[14], nullptr, 10);
+        std::vector<float> upd = read_f32(argv[12], nu * dim);
+        std::vector<uint32_t> upd_ids(nu);
+        {
+            std::ifstream in(argv[13], std::ios::binary);
+            in.read(reinterpret_cast<char *>(upd_ids.data()), nu * 4);
+            if (!in) { fprintf(stderr, "short read %s\n", argv[13]); return 2; }
+        }
+        t0 = std::chrono::steady_clock::now();
+        // existing label -> updatePoint path (hnswalg.h:965-977)
+        for (size_t j = 0; j < nu; j++)
+            alg.addPoint(upd.data() + j * dim,
+                         static_cast<hnswlib::labeltype>(upd_ids[j]));
+        churn_s = std::chrono::duration<double>(
+                      std::chrono::steady_clock::now() - t0).count();
+    }
 
     alg.setEf(ef);
     std::vector<int64_t> ids(nq * k, -1);
@@ -121,8 +153,8 @@ int main(int argc, char **argv) {
     if (!adj_out.empty()) export_adj(alg, adj_out);
 
     printf("{\"build_s\": %.3f, \"query_s\": %.3f, \"qps\": %.1f, "
-           "\"max_level\": %d, \"entrypoint\": %u}\n",
+           "\"max_level\": %d, \"entrypoint\": %u, \"churn_s\": %.3f}\n",
            build_s, query_s, nq / query_s, alg.maxlevel_,
-           static_cast<unsigned>(alg.enterpoint_node_));
+           static_cast<unsigned>(alg.enterpoint_node_), churn_s);
     return 0;
 }
