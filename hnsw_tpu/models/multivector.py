@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 from hnsw_tpu.core.spaces import Space, get_space
-from hnsw_tpu.models.hnsw import HNSWIndex, SearchParams
+from hnsw_tpu.models.hnsw import HNSWIndex
 
 
 def _pow2(x: int) -> int:
@@ -54,6 +54,11 @@ def epsilon_search(
     starts small and doubles while any query's beam is saturated with
     within-epsilon points (meaning more may exist beyond it), up to
     max_candidates.
+
+    `index` is anything with the `.search(queries, k=, ef=)` surface and a
+    `num_elements` property — the single-chip HNSWIndex or the sharded
+    ShardedHNSWIndex (each shard widens in lockstep; the all-gather top-k
+    merge preserves the closest-first guarantee the widening relies on).
     """
     assert min_candidates <= max_candidates
     n = index.num_elements
@@ -66,12 +71,7 @@ def epsilon_search(
     while True:
         # search at the full (power-of-two) beam width; the view below
         # truncates to the semantic bound
-        dists, labels = index.search(
-            queries,
-            k=beam,
-            ef=beam,
-            params=SearchParams(k=beam, ef=beam),
-        )
+        dists, labels = index.search(queries, k=beam, ef=beam)
         k_cur = min(beam, max_candidates)
         dists, labels = dists[:, :k_cur], labels[:, :k_cur]
         within = dists <= epsilon
@@ -113,10 +113,20 @@ class MultiVectorIndex:
         m: int = 16,
         ef_construction: int = 200,
         seed: int = 123,
+        index=None,
     ):
-        if isinstance(space, str):
-            space = get_space(space, dim)
-        self.index = HNSWIndex(space, m=m, ef_construction=ef_construction, seed=seed)
+        """`index` overrides the default single-chip HNSWIndex with any
+        index exposing `.add_items(vectors, labels)` / `.search(q, k=,
+        ef=)` / `.num_elements` / `.dim` — e.g. a ShardedHNSWIndex for
+        multi-chip document retrieval."""
+        if index is not None:
+            self.index = index
+        else:
+            if isinstance(space, str):
+                space = get_space(space, dim)
+            self.index = HNSWIndex(
+                space, m=m, ef_construction=ef_construction, seed=seed
+            )
         self._doc_arr = np.empty(0, dtype=np.int64)  # vector label -> doc id
         self._docs: set[int] = set()
         self._next_label = 0
@@ -175,10 +185,7 @@ class MultiVectorIndex:
         )
         while True:
             ef_cur = max(ef, k_vec)
-            dists, labels = self.index.search(
-                queries, k=k_vec, ef=ef_cur,
-                params=SearchParams(k=k_vec, ef=ef_cur),
-            )
+            dists, labels = self.index.search(queries, k=k_vec, ef=ef_cur)
             out_d, out_doc, distinct = self._aggregate(dists, labels, k_docs)
             want = min(k_docs, self.num_docs)
             if k_vec >= n_vec or np.all(distinct >= want):

@@ -461,7 +461,7 @@ def sharded_landmark_arrays(
     static_argnames=(
         "k", "ef", "space", "expand", "max_iters", "mesh", "dp_axis",
         "shard_axis", "has_mask", "has_entry", "stop_patience",
-        "stop_frontier", "entry_seeds", "exact_i8",
+        "stop_frontier", "entry_seeds", "exact_i8", "stop_fn",
     ),
 )
 def sharded_search(
@@ -486,6 +486,7 @@ def sharded_search(
     stop_frontier: float = 0.0,
     entry_seeds: int = 0,
     exact_i8: bool = False,
+    stop_fn: object = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Search all shards and merge → (dists [B, k], labels [B, k] int64).
 
@@ -607,6 +608,7 @@ def sharded_search(
             interpret=interpret,
             stop_patience=stop_patience,
             stop_frontier=stop_frontier,
+            stop_fn=stop_fn,
         )
         if m_res:
             from hnsw_tpu.models.hnsw import _rescore_topk
@@ -1209,6 +1211,7 @@ class ShardedHNSWIndex:
         max_iters: int = 0,
         entry_seeds: int = 0,
         seed_pool: int = 0,
+        stop_fn: object = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Batched kNN over all shards (single-chip parity features:
         `filter_labels` is a bool mask over external labels, delete-marked
@@ -1287,6 +1290,7 @@ class ShardedHNSWIndex:
             max_iters=max_iters,
             entry_seeds=entry_seeds,
             exact_i8=self.space.exact_i8,
+            stop_fn=stop_fn,
         )
         return np.asarray(d)[:b0], np.asarray(l)[:b0]
 
