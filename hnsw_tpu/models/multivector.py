@@ -34,6 +34,18 @@ def _pow2(x: int) -> int:
     return 1 << (max(int(x), 1) - 1).bit_length()
 
 
+def _beam_search(index, queries, k, ef, engine):
+    """One widening step: the device batched beam, or the native CPU heap
+    engine (`engine="cpu"`, search_cpu) — the CPU engine is the parity
+    oracle for every stop-condition search, the way hnsw_search_filtered
+    is for filters (reference: stop conditions run on the CPU engine too,
+    hnswalg.h:1327-1378)."""
+    if engine == "cpu":
+        d, l, _ = index.search_cpu(queries, k=k, ef=ef)
+        return np.asarray(d), np.asarray(l)
+    return index.search(queries, k=k, ef=ef)
+
+
 def epsilon_search(
     index: HNSWIndex,
     queries: np.ndarray,
@@ -41,6 +53,7 @@ def epsilon_search(
     min_candidates: int = 1,
     max_candidates: int = 64,
     ef: int = 0,
+    engine: str = "device",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Range search → (dists [B, max_candidates], labels, valid mask).
 
@@ -71,7 +84,7 @@ def epsilon_search(
     while True:
         # search at the full (power-of-two) beam width; the view below
         # truncates to the semantic bound
-        dists, labels = index.search(queries, k=beam, ef=beam)
+        dists, labels = _beam_search(index, queries, beam, beam, engine)
         k_cur = min(beam, max_candidates)
         dists, labels = dists[:, :k_cur], labels[:, :k_cur]
         within = dists <= epsilon
@@ -169,7 +182,8 @@ class MultiVectorIndex:
         return out_d, out_doc, first.sum(axis=1)
 
     def search(
-        self, queries: np.ndarray, k_docs: int = 10, ef: int = 0, oversample: int = 4
+        self, queries: np.ndarray, k_docs: int = 10, ef: int = 0,
+        oversample: int = 4, engine: str = "device",
     ) -> tuple[np.ndarray, np.ndarray]:
         """→ (doc_dists [B, k_docs], doc_ids [B, k_docs]; -1 = missing).
 
@@ -185,7 +199,9 @@ class MultiVectorIndex:
         )
         while True:
             ef_cur = max(ef, k_vec)
-            dists, labels = self.index.search(queries, k=k_vec, ef=ef_cur)
+            dists, labels = _beam_search(
+                self.index, queries, k_vec, ef_cur, engine
+            )
             out_d, out_doc, distinct = self._aggregate(dists, labels, k_docs)
             want = min(k_docs, self.num_docs)
             if k_vec >= n_vec or np.all(distinct >= want):
