@@ -317,7 +317,14 @@ def main():
                 (r for r in wide_seeded if r["recall_at_10"] >= 0.97),
                 key=lambda r: r["qps"], default=None,
             )
-            if ws is not None and ws["qps"] > cap_mode["qps"]:
+            # take the seeded wide mode on qps, or on recall at ~equal qps
+            # (the 3M run measured +0.007 recall at -1% qps — a strictly
+            # better high-recall serving point)
+            if ws is not None and (
+                ws["qps"] > cap_mode["qps"]
+                or (ws["recall_at_10"] >= cap_mode["recall_at_10"] + 0.002
+                    and ws["qps"] >= 0.9 * cap_mode["qps"])
+            ):
                 cap_mode = ws
 
     # single-core CPU baseline on the same graph
