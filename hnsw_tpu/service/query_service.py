@@ -68,7 +68,16 @@ class _Engine:
 
         from hnsw_tpu.core.graph import graph_device_arrays, pad_vectors, round_up
 
-        self.space = space
+        from hnsw_tpu.core.spaces import get_space
+
+        # `space` arrives as the checkpoint's persist name (l2 | l2u8 | ip |
+        # cosine); resolve the descriptor so the kernels get the dispatch
+        # name and incoming queries get the space's preprocessing (cosine
+        # normalization / the u8 shift — stored vectors are already
+        # preprocessed at build time).
+        self.space_obj = get_space(space, vectors_np.shape[1])
+        self.space = self.space_obj.name
+        self.persist_space = space
         self.mode = mode
         self.storage = storage
         self.default_ef = default_ef
@@ -88,7 +97,11 @@ class _Engine:
         self.dg = graph_device_arrays(graph, n_pad)
         x_np = pad_vectors(vectors_np, n_pad)
         self.x = jnp.asarray(x_np)
-        self.sq = jnp.sum(self.x * self.x, axis=-1) if space == "l2" else None
+        self.sq = (
+            jnp.sum(self.x * self.x, axis=-1)
+            if self.space_obj.needs_sq_norms
+            else None
+        )
         self.inline = None  # tagged tuple, same scheme as HNSWIndex
         if jax.default_backend() == "tpu":
             from hnsw_tpu.models.hnsw import SPLIT_MAX_BYTES, UNIFIED_MAX_BYTES
@@ -98,7 +111,8 @@ class _Engine:
             # int8 unified → split → gathers), so the service serves 2M+
             # indexes through the int8 tier instead of OOMing on split
             self.inline = build_inline_tables(
-                self.x, self.dg, self.dim, UNIFIED_MAX_BYTES, SPLIT_MAX_BYTES
+                self.x, self.dg, self.dim, UNIFIED_MAX_BYTES,
+                SPLIT_MAX_BYTES, exact_i8=self.space_obj.exact_i8,
             )
         self.labels_np = np.asarray(jax.device_get(self.dg.labels))
         # markDelete semantics (hnswalg.h:853-900): delete-marked elements
@@ -221,7 +235,7 @@ class _Engine:
         b0 = queries.shape[0]
         b_pad = ((b0 + 15) // 16) * 16
         q = np.zeros((b_pad, self.dim), dtype=np.float32)
-        q[:b0] = queries
+        q[:b0] = self.space_obj.preprocess(queries)
         ent = None
         if entry_ids is not None:
             e = np.zeros(b_pad, dtype=np.int32)
@@ -233,7 +247,10 @@ class _Engine:
         m_res = cfg["rescore"]
         if m_res is None:
             kind = self.inline[0] if self.inline else "off"
-            m_res = 4 * k if kind in ("unified8", "unified4") else 0
+            lossy = kind == "unified4" or (
+                kind == "unified8" and not self.space_obj.exact_i8
+            )
+            m_res = 4 * k if lossy else 0
         m_res = min(int(m_res), max(ef, k))
         k_search = max(k, m_res) if m_res >= k else k
         qd = jnp.asarray(q)
@@ -468,6 +485,7 @@ class QueryHandler(BaseHTTPRequestHandler):
                 "dim": self.engine.dim,
                 "ef": self.engine.default_ef,
                 "mode": self.engine.mode,
+                "space": self.engine.persist_space,
             }
             if self.engine.stop_frontier or self.engine.stop_patience:
                 info["stop_frontier"] = self.engine.stop_frontier

@@ -425,3 +425,45 @@ def test_http_mode_routing(tmp_path):
             assert "modes" in json.loads(e.read())
     finally:
         httpd.shutdown()
+
+
+def test_engine_space_preprocessing(tmp_path):
+    """The engine resolves the checkpoint's persist space: cosine queries
+    are normalized and l2u8 queries shifted at the service boundary (the
+    stored vectors are already preprocessed at build time). Round-3 code
+    passed the persist name straight to the kernels — a cosine or l2u8
+    checkpoint either crashed dispatch or served wrong distances."""
+    from hnsw_tpu.service import query_service
+
+    rng = np.random.default_rng(13)
+    # cosine: un-normalized queries must match the index's own search
+    x = rng.normal(size=(N, DIM)).astype(np.float32) * 3
+    idx = HNSWIndex("cosine", dim=DIM, m=8, ef_construction=100)
+    idx.add_items(x)
+    ckpt = str(tmp_path / "cos.npz")
+    idx.save(ckpt)
+    eng = query_service.build_engine(ckpt, False, "", DIM, 64, 10)
+    assert eng.persist_space == "cosine" and eng.space == "ip"
+    q = x[:16] * 7.0  # scale must not matter under cosine
+    d_ref, l_ref = idx.search(q, k=10, ef=64)
+    _, l_srv = eng.search(q, k=10, ef=64)
+    overlap = np.mean(
+        [len(set(l_srv[i]) & set(l_ref[i])) / 10 for i in range(16)]
+    )
+    assert overlap >= 0.95, overlap
+
+    # l2u8: service distances are the exact integer L2 distances
+    xu = rng.integers(0, 256, size=(N, DIM)).astype(np.uint8)
+    idx8 = HNSWIndex("l2u8", dim=DIM, m=8, ef_construction=100)
+    idx8.add_items(xu)
+    ckpt8 = str(tmp_path / "u8.npz")
+    idx8.save(ckpt8)
+    eng8 = query_service.build_engine(ckpt8, False, "", DIM, 64, 10)
+    assert eng8.persist_space == "l2u8" and eng8.space == "l2"
+    qu = xu[:16]
+    d, l = eng8.search(qu.astype(np.float32), k=10, ef=64)
+    qi, xi = qu.astype(np.int64), xu.astype(np.int64)
+    for i in range(16):
+        for lab, dv in zip(l[i], d[i]):
+            if lab >= 0:
+                assert float(dv) == float(((qi[i] - xi[lab]) ** 2).sum())
