@@ -79,10 +79,11 @@ def main():
         sd, si = bruteforce_topk(qd, lv, seeds, "l2", x_sq_norms=lsq)
         return {"seed_ids": jnp.take(li, si, axis=0), "seed_dists": sd}
 
-    def measure(label, seeds=0, **stop_kwargs):
+    def measure(label, seeds=0, ef_run=None, **stop_kwargs):
         def run():
             return search_batch(
-                vectors, dg, qd, k=k, ef=ef, space="l2", sq_norms=sq,
+                vectors, dg, qd, k=k, ef=ef_run or ef, space="l2",
+                sq_norms=sq,
                 **inline_search_kwargs(nbr_vec), expand=2,
                 **seed_kwargs(seeds), **stop_kwargs,
             )
@@ -108,6 +109,7 @@ def main():
         print(f"{label:<26} recall@{k}={rec:.4f}  {qps:>9.0f} qps", flush=True)
         return {"mode": label, "recall_at_10": round(rec, 4), "qps": round(qps, 1),
                 "entry_seeds": seeds,
+                **({"ef": ef_run} if ef_run else {}),
                 **{k2: v for k2, v in stop_kwargs.items()}}
 
     results = [measure("baseline")]
@@ -186,6 +188,20 @@ def main():
                 measure(f"seeds4 + f1.15 + budget {cap}", seeds=seeds,
                         stop_frontier=1.15, max_iters=cap)
             )
+
+        # Narrow serve beam (res/ef_exp.json at 100k: with seeded entry
+        # ef=160 holds the full-beam recall while every per-iteration
+        # merge/dedup/sort fusion shrinks with the beam; ef=128 regresses
+        # to re-expansions). Budget reuses the seeded tail caps — the
+        # last-improvement distribution is a property of the trajectory,
+        # which seeding (not the beam cap) determines.
+        for ef_n in (160, 128):
+            for cap in sorted((max(c, 8) for c in scaps), reverse=True)[1:]:
+                results.append(
+                    measure(f"seeds4 ef{ef_n} + f1.15 + budget {cap}",
+                            seeds=seeds, ef_run=ef_n,
+                            stop_frontier=1.15, max_iters=cap)
+                )
 
     best = max(
         (r for r in results[1:] if r["recall_at_10"] >= base_rec - 0.005),

@@ -155,8 +155,13 @@ def _recursive_upper_phase(
     # positional labels: the sub build reorders internally (its own upper
     # nodes insert first) — g_sub.labels[j] recovers input position of sub
     # node j, and everything below is remapped back to input order
+    # `data` is already preprocessed by the enclosing bulk_build — hand the
+    # sub-build the kernel-dispatch space (plain l2/ip pass-through), not
+    # the user space, or a non-idempotent preprocess (the l2u8 shift)
+    # would be applied twice
     sub = bulk_build(
-        data[hi], labels=np.arange(nh, dtype=np.int64), space=space, m=m,
+        data[hi], labels=np.arange(nh, dtype=np.int64),
+        space=get_space(space.name, data.shape[1]), m=m,
         ef_construction=ef_construction, seed=seed + 1,
         first_wave=first_wave, select_c=select_c, verbose=verbose,
         upper_recurse_min=upper_recurse_min, _levels=levels[hi] - 1,

@@ -131,6 +131,29 @@ def test_persist_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(d1, d2)
 
 
+@pytest.mark.slow
+def test_bulk_build_recursive_upper_u8(rng):
+    """Regression: bulk_build's recursive upper phase hands the sub-build
+    ALREADY-preprocessed data, so it must pass the kernel-dispatch space
+    (plain l2), not the user space — re-applying the non-idempotent l2u8
+    shift raised 'l2u8 space requires values in [0, 255]' on any l2u8
+    bulk build large enough to recurse."""
+    from hnsw_tpu.models.bulk_build import bulk_build
+
+    x, q = _u8_data(rng)
+    idx = bulk_build(
+        x, space="l2u8", m=8, ef_construction=100,
+        first_wave=256, upper_recurse_min=50,
+    )
+    assert idx.space.persist_name == "l2u8" and idx.space.exact_i8
+    assert idx.num_elements == N
+    d, l = idx.search(q, k=10, ef=200)
+    ref = _exact_dists(q, x, l)
+    valid = l >= 0
+    assert valid.any()
+    np.testing.assert_array_equal(d[valid].astype(np.float64), ref[valid])
+
+
 def test_rejects_out_of_range():
     sp = get_space("l2u8", DIM)
     with pytest.raises(ValueError):
