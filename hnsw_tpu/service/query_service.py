@@ -30,12 +30,14 @@ a hop-distribution probe at percentile P (e.g. 99).
 
 These values are static under jit — but that is a MENU, not a wall:
 `--modes '{"speed": {"stop_frontier": 1.15, "max_iters": 14,
-"entry_seeds": 4}, "quality": {}}'` registers named SearchParams variants,
-each its own compiled program (warmed at startup), and a request routes
-with `"mode": "speed"` — per-request quality-vs-speed in one process, the
-analog of the reference's per-request ef/k overrides
-(hnsw_service/main.cpp:63-64,118-120). The flat flags define the
-"default" mode.
+"entry_seeds": 4, "ef": 160}, "quality": {}}'` registers named
+SearchParams variants, each its own compiled program (warmed at
+startup), and a request routes with `"mode": "speed"` — per-request
+quality-vs-speed in one process, the analog of the reference's
+per-request ef/k overrides (hnsw_service/main.cpp:63-64,118-120). A
+mode's "ef" pins its serve beam width (the headline speed mode narrows
+to ef=160 under seeded entry); without it the request's ef applies.
+The flat flags define the "default" mode.
 """
 
 from __future__ import annotations
@@ -55,9 +57,12 @@ from hnsw_tpu.utils.rss import current_rss_kb
 class _Engine:
     """Device-resident search state shared by both modes."""
 
-    #: knobs a named mode may override (everything jit-static per variant)
+    #: knobs a named mode may override (everything jit-static per variant).
+    #: "ef" pins the mode's serve beam width (None = the request's ef) —
+    #: the headline speed mode narrows to ef=160 under seeded entry, and
+    #: that is a property of the MODE, not of the client's request.
     MODE_KEYS = ("stop_frontier", "stop_patience", "rescore", "max_iters",
-                 "entry_seeds", "seed_pool")
+                 "entry_seeds", "seed_pool", "ef")
 
     def __init__(self, vectors_np, graph, space, default_ef, default_k, mode,
                  storage=None, deleted=None, stop_frontier=0.0,
@@ -134,7 +139,7 @@ class _Engine:
         # named mode menu: "default" = the flat knobs above (post-
         # calibration); each extra mode overrides a subset of MODE_KEYS and
         # compiles as its own program, routed per request via "mode"
-        base = {k: getattr(self, k) for k in self.MODE_KEYS}
+        base = {k: getattr(self, k, None) for k in self.MODE_KEYS}
         self.modes = {"default": base}
         for name, over in (modes or {}).items():
             bad = set(over) - set(self.MODE_KEYS)
@@ -232,6 +237,8 @@ class _Engine:
         from hnsw_tpu.ops.traversal import search_batch
 
         cfg = self.modes[mode or "default"]
+        if cfg.get("ef"):
+            ef = int(cfg["ef"])
         b0 = queries.shape[0]
         b_pad = ((b0 + 15) // 16) * 16
         q = np.zeros((b_pad, self.dim), dtype=np.float32)

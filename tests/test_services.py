@@ -339,7 +339,8 @@ def test_engine_mode_menu(tmp_path):
     eng = query_service.build_engine(
         ckpt, False, "", DIM, 64, 10,
         modes={"fast": {"stop_frontier": 1.05, "max_iters": 2},
-               "quality": {}},
+               "quality": {},
+               "narrow": {"ef": 16}},
     )
     eng.warm_modes()
     q = x[:32] + 0.05 * rng.normal(size=(32, DIM)).astype(np.float32)
@@ -356,6 +357,13 @@ def test_engine_mode_menu(tmp_path):
     assert r_qual > r_fast, (r_qual, r_fast)  # 2 hops can't match exhaustive
     assert r_qual >= 0.9
     assert r_def == r_qual
+    # a mode may PIN its serve beam width (the headline speed mode is
+    # seeds + ef=160): request ef is overridden, results match a direct
+    # ef=16 search exactly
+    d_nar, l_nar = eng.search(q, k=10, ef=64, mode="narrow")
+    d_16, l_16 = eng.search(q, k=10, ef=16)
+    np.testing.assert_array_equal(l_nar, l_16)
+    np.testing.assert_array_equal(d_nar, d_16)
     # unknown mode -> loud error, not silent default
     with pytest.raises(KeyError):
         eng.search(q, k=10, ef=64, mode="nope")
