@@ -75,6 +75,21 @@ def main():
     del oracle
 
     idx.growth_headroom = 0.0
+    if n >= 3_500_000:
+        # N=4M serve residency: unified4 table 10.2GB + f32 vectors 2.05GB
+        # + codes/scales 0.54GB + upper descent tables ~1.0GB + adjacency
+        # ~0.6GB = ~14.4GB — measured to exhaust the v5e chip right after
+        # sync (the next 2MB device_put RESOURCE_EXHAUSTs, deterministically,
+        # 3/3 attempts). Trim to ~11.9GB: bf16 vector table (rescore + seed
+        # matmul read bf16 rows; the MXU computes in bf16 anyway), drop the
+        # delta side tables (serve-only run), and skip the per-level upper
+        # descent tables — every headline mode is landmark-seeded and never
+        # descends; the non-seeded baseline rows use the gather descent.
+        idx.space = L2Space(dim, storage_dtype=jnp.bfloat16)
+        idx.keep_delta_tables = False
+        idx.upper_inline = False
+        print("4M serve config: bf16 vectors, no delta side-tables, "
+              "no upper descent tables", flush=True)
     t0 = time.time()
     dg, vectors, sq, _, labels_np, nbr_vec = idx.rebuild_device_tables()
     kind = None if nbr_vec is None else nbr_vec[0]

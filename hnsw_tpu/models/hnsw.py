@@ -325,6 +325,10 @@ class HNSWIndex:
         # False drops the per-level unified descent tables (~1.2GB at 2M):
         # bulk-build waves at the HBM edge use the gather descent instead.
         self.upper_inline = True
+        # False drops the int8/int4 codes/scales side tables after the
+        # unified table is packed (serve-only indexes; ~0.54GB at 4M).
+        # Row deltas then fall back to a full resync.
+        self.keep_delta_tables = True
         from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
 
         self._builder = NativeHNSWBuilder(
@@ -479,6 +483,7 @@ class HNSWIndex:
                 x, dg, self.dim, self.unified_max_bytes, SPLIT_MAX_BYTES,
                 upper_inline=self.upper_inline,
                 exact_i8=self.space.exact_i8,
+                keep_delta_tables=self.keep_delta_tables,
             )
         deleted = np.zeros(n_pad, dtype=bool)
         deleted[:n] = self._builder.export_deleted().astype(bool)
@@ -511,6 +516,14 @@ class HNSWIndex:
         if flags & 2:
             return False
         dg, x, sq, deleted, labels_np, nbr_vec = self._device
+        if (
+            nbr_vec is not None
+            and nbr_vec[0] in ("unified8", "unified4")
+            and nbr_vec[3] is None
+        ):
+            # serve-only table (keep_delta_tables=False): the quantized side
+            # tables needed to re-pack dirty rows were dropped at sync
+            return False
         n_pad = dg.n_pad
         sent = n_pad - 1
         n = b.size

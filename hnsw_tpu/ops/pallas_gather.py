@@ -71,6 +71,44 @@ def _gather_dist_kernel(ids_ref, q_ref, table_ref, out_ref, rows, sems, *, tb, k
         out_ref[:] = jnp.maximum(q2 + x2 - 2.0 * qx, 0.0)
 
 
+def _gather_dist_kernel_pair(
+    ids_ref, q_ref, table_ref, out_ref, rows, sems, *, tb, k, ip
+):
+    """bf16-table variant of _gather_dist_kernel: Mosaic rejects single
+    sublane-row DMAs from a (16,128)-tiled bf16 table, so copy the aligned
+    row PAIR containing each id (2 sublanes, 512B — the same bytes per
+    descriptor as one f32 row) and emit distances for both pair members;
+    the caller selects by id parity. The table arrives reshaped [N//2, 2, d]
+    and ids_ref holds PAIR indices (id >> 1): leading-dim slices of a 3D
+    array don't intersect the (8,128)(2,1) packed tiling — a dynamic-start
+    2-sublane slice of the 2D table is rejected by Mosaic."""
+    base = pl.program_id(0) * tb
+
+    def _dma(t, j):
+        return pltpu.make_async_copy(
+            table_ref.at[ids_ref[base + t, j]], rows.at[t * k + j], sems
+        )
+
+    for t in range(tb):
+        for j in range(k):
+            _dma(t, j).start()
+    for t in range(tb):
+        for j in range(k):
+            _dma(t, j).wait()
+
+    d = q_ref.shape[-1]
+    # VPU elementwise like the hop kernel (a bf16 batched dot_general here
+    # crashes the Mosaic compile helper; at this arithmetic intensity the
+    # kernel is DMA-bound anyway)
+    r32 = rows[:].reshape(tb, 2 * k, d).astype(jnp.float32)
+    q32 = q_ref[:].astype(jnp.float32)[:, None, :]  # [tb, 1, d]
+    if ip:
+        out_ref[:] = 1.0 - jnp.sum(r32 * q32, axis=-1)
+    else:
+        diff = r32 - q32
+        out_ref[:] = jnp.sum(diff * diff, axis=-1)
+
+
 def _hop_dist_kernel(
     chosen_ref,  # SMEM scalar-prefetch [ceil(B*E/128), 128] (lane-packed)
     q_ref,  # VMEM [tb, d]
@@ -789,7 +827,7 @@ def hop_dist_unified(
 
 def build_inline_tables(
     x, dg, dim, unified_max_bytes, split_max_bytes, upper_inline=True,
-    exact_i8=False,
+    exact_i8=False, keep_delta_tables=True,
 ):
     """Choose and build the inline fast-path tables for a device graph —
     the ONE place the tier ladder lives (HNSWIndex._full_sync and the query
@@ -838,7 +876,12 @@ def build_inline_tables(
         table, codes, scales = make_unified8_table_chunked(
             x, dg.level0, exact=exact_i8
         )
-        # the quantized side tables stay live for row-delta refresh
+        # the quantized side tables stay live for row-delta refresh; a
+        # serve-only index drops them (row deltas then force a full resync)
+        # — at the HBM edge (N=4M int4) that 0.54GB is the difference
+        # between fitting and relay-poisoning the process
+        if not keep_delta_tables:
+            codes = scales = None
         return ("unified8", table, upper_tabs(), codes, scales)
     # int4 rung: a quarter of the bf16 row (2.5KB/node at m0=32/d=128) —
     # the ~3M-per-chip capacity tier past int8's ~2M. Same footprint
@@ -854,6 +897,8 @@ def build_inline_tables(
         and u4_bytes <= unified_max_bytes
     ):
         table, codes, scales = make_unified4_table_chunked(x, dg.level0)
+        if not keep_delta_tables:
+            codes = scales = None
         return ("unified4", table, upper_tabs(), codes, scales)
     if m0_pad <= 32 and n_pad * m0_pad * d_pad * 2 <= split_max_bytes:
         tab_bytes = n_pad * m0_pad * d_pad * 2
@@ -967,6 +1012,41 @@ def gather_dist_pallas(
             ]
         )
     grid = (b // tb,)
+    if table.dtype == jnp.bfloat16:
+        # Mosaic rejects single sublane-row DMAs from (16,128)-tiled bf16
+        # tables (compile-helper crash, deterministic) — copy aligned row
+        # pairs instead and pick the wanted member by id parity here.
+        q = q.astype(jnp.float32)
+        if table.shape[0] % 2:
+            table = jnp.pad(table, ((0, 1), (0, 0)))
+        table = table.reshape(table.shape[0] // 2, 2, d)
+        kernel = functools.partial(
+            _gather_dist_kernel_pair, tb=tb, k=k, ip=space == "ip"
+        )
+        d2 = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(
+                        (tb, d), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec(
+                    (tb, 2 * k), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((tb * k, 2, d), table.dtype),
+                    pltpu.SemaphoreType.DMA,
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, 2 * k), jnp.float32),
+            interpret=interpret,
+        )(ids >> 1, q, table)
+        d2 = d2.reshape(b, k, 2)
+        return jnp.where((ids & 1) == 1, d2[:, :, 1], d2[:, :, 0])
     kernel = functools.partial(_gather_dist_kernel, tb=tb, k=k, ip=space == "ip")
     return pl.pallas_call(
         kernel,

@@ -63,3 +63,32 @@ def test_rescore_respects_filters(rng):
     d, l = idx.search(q, k=10, ef=200, filter_labels=mask)
     ok = l.reshape(-1) >= 0
     assert mask[l.reshape(-1)[ok]].all()
+
+
+def test_gather_dist_bf16_table_pair_path(rng):
+    """The bf16-table variant of gather_dist_pallas (used when the vector
+    table is stored bf16 at the HBM edge, e.g. the N=4M serve config) DMAs
+    aligned row PAIRS and selects by id parity — it must match the f32
+    path to bf16 precision for both metrics and for odd/even ids."""
+    import jax.numpy as jnp
+
+    from hnsw_tpu.ops.pallas_gather import gather_dist_pallas
+
+    tab = rng.normal(size=(513, 128)).astype(np.float32)  # odd N: pad path
+    q = rng.normal(size=(16, 128)).astype(np.float32)
+    ids = rng.integers(0, 513, size=(16, 24)).astype(np.int32)
+    for space in ("l2", "ip"):
+        ref = np.asarray(
+            gather_dist_pallas(
+                jnp.asarray(q), jnp.asarray(tab), jnp.asarray(ids),
+                space=space, interpret=True,
+            )
+        )
+        out = np.asarray(
+            gather_dist_pallas(
+                jnp.asarray(q), jnp.asarray(tab).astype(jnp.bfloat16),
+                jnp.asarray(ids), space=space, interpret=True,
+            )
+        )
+        scale = max(1.0, float(np.abs(ref).max()))
+        assert np.max(np.abs(out - ref)) / scale < 0.02, space
