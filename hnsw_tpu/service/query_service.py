@@ -67,7 +67,8 @@ class _Engine:
     def __init__(self, vectors_np, graph, space, default_ef, default_k, mode,
                  storage=None, deleted=None, stop_frontier=0.0,
                  stop_patience=0, rescore=None, max_iters=0,
-                 auto_speed=0.0, entry_seeds=0, seed_pool=0, modes=None):
+                 auto_speed=0.0, entry_seeds=0, seed_pool=0, modes=None,
+                 hbm_trim=False):
         import jax
         import jax.numpy as jnp
 
@@ -101,9 +102,18 @@ class _Engine:
         n_pad = round_up(graph.num_nodes + 1, 128)
         self.dg = graph_device_arrays(graph, n_pad)
         x_np = pad_vectors(vectors_np, n_pad)
-        self.x = jnp.asarray(x_np)
+        # --hbm_trim (the N=4M serve residency config): bf16 vector table —
+        # rescore and the seed matmul read bf16 rows via the pair-DMA gather
+        # kernel — and no per-level upper descent tables. ~40% less HBM.
+        self.hbm_trim = bool(hbm_trim)
+        self.x = jnp.asarray(
+            x_np, dtype=jnp.bfloat16 if self.hbm_trim else jnp.float32
+        )
         self.sq = (
-            jnp.sum(self.x * self.x, axis=-1)
+            jnp.sum(
+                self.x.astype(jnp.float32) * self.x.astype(jnp.float32),
+                axis=-1,
+            )
             if self.space_obj.needs_sq_norms
             else None
         )
@@ -114,10 +124,15 @@ class _Engine:
 
             # the SAME tier ladder as HNSWIndex._full_sync (bf16 unified →
             # int8 unified → split → gathers), so the service serves 2M+
-            # indexes through the int8 tier instead of OOMing on split
+            # indexes through the int8 tier instead of OOMing on split.
+            # The service never mutates, so the quantized delta side tables
+            # are dropped unconditionally (keep_delta_tables=False): row-
+            # delta refresh is an HNSWIndex concern, and at 2M+ those side
+            # tables are ~0.3-0.5GB of dead HBM here.
             self.inline = build_inline_tables(
                 self.x, self.dg, self.dim, UNIFIED_MAX_BYTES,
                 SPLIT_MAX_BYTES, exact_i8=self.space_obj.exact_i8,
+                upper_inline=not self.hbm_trim, keep_delta_tables=False,
             )
         self.labels_np = np.asarray(jax.device_get(self.dg.labels))
         # markDelete semantics (hnswalg.h:853-900): delete-marked elements
@@ -440,11 +455,13 @@ def build_engine(
     entry_seeds: int = 0,
     seed_pool: int = 0,
     modes: dict | None = None,
+    hbm_trim: bool = False,
 ) -> _Engine:
     speed = dict(
         stop_frontier=stop_frontier, stop_patience=stop_patience,
         rescore=rescore, max_iters=max_iters, auto_speed=auto_speed,
         entry_seeds=entry_seeds, seed_pool=seed_pool, modes=modes,
+        hbm_trim=hbm_trim,
     )
     if not optimized:
         from hnsw_tpu.io.checkpoint import load_checkpoint
@@ -617,6 +634,10 @@ def main():
     ap.add_argument("--modes", type=str, default=None)
     # warm (precompile) every mode at startup so no request pays a cold jit
     ap.add_argument("--warm", type=int, default=1)
+    # HBM-edge serve config (the N=4M residency trim): bf16 vector table +
+    # no per-level upper descent tables. Pair with --entry_seeds: seeded
+    # modes never descend, so the dropped tables cost nothing.
+    ap.add_argument("--hbm_trim", type=int, default=0)
     args = ap.parse_args()
     optimized = args.optimized in ("1", "true", "True")
     engine = build_engine(
@@ -626,6 +647,7 @@ def main():
         auto_speed=args.auto_speed, entry_seeds=args.entry_seeds,
         seed_pool=args.seed_pool,
         modes=json.loads(args.modes) if args.modes else None,
+        hbm_trim=bool(args.hbm_trim),
     )
     if args.warm:
         engine.warm_modes()

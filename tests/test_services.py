@@ -475,3 +475,36 @@ def test_engine_space_preprocessing(tmp_path):
         for lab, dv in zip(l[i], d[i]):
             if lab >= 0:
                 assert float(dv) == float(((qi[i] - xi[lab]) ** 2).sum())
+
+
+@pytest.mark.slow
+def test_engine_hbm_trim(tmp_path):
+    """--hbm_trim (the N=4M serve-residency config): bf16 vector table +
+    no upper descent tables. Results must match the plain engine closely
+    (bf16 distance noise only), and the engine must report the trimmed
+    state so the RSS/HBM claim is testable."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=(N, DIM)).astype(np.float32)
+    idx = HNSWIndex("l2", dim=DIM, m=8, ef_construction=100)
+    idx.add_items(x)
+    ckpt = str(tmp_path / "trim.npz")
+    idx.save(ckpt)
+
+    from hnsw_tpu.service import query_service
+
+    plain = query_service.build_engine(ckpt, False, "", DIM, 64, 10)
+    trim = query_service.build_engine(
+        ckpt, False, "", DIM, 64, 10, entry_seeds=4, hbm_trim=True,
+    )
+    assert trim.x.dtype == jnp.bfloat16
+    assert plain.x.dtype == jnp.float32
+    q = x[:32]
+    _, l_plain = plain.search(q, k=10, ef=64)
+    _, l_trim = trim.search(q, k=10, ef=64)
+    overlap = np.mean(
+        [len(set(l_plain[i]) & set(l_trim[i])) / 10 for i in range(32)]
+    )
+    assert overlap >= 0.9, overlap
+    assert (l_trim[:, 0] == np.arange(32)).mean() >= 0.95
