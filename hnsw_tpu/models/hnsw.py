@@ -975,6 +975,7 @@ class HNSWIndex:
         )
         self.unified_max_bytes = UNIFIED_MAX_BYTES
         self.upper_inline = True
+        self.keep_delta_tables = True
         self._builder = NativeHNSWBuilder.from_graph(
             g, vectors, deleted, space=self.space.name,
             ef_construction=meta["ef_construction"],
