@@ -170,6 +170,8 @@ def build_sharded_arrays(
     inline_neighbors: bool | None = None,
     unified_max_bytes: int | None = None,
     growth_headroom: float = 1 / 16,
+    upper_inline: bool = True,
+    keep_delta_tables: bool = True,
 ) -> ShardedIndexArrays:
     """Stack per-shard (graph, vectors) into uniform [S, ...] arrays and
     place them sharded over `mesh[shard_axis]`. Pads every shard to common
@@ -270,6 +272,15 @@ def build_sharded_arrays(
     shard_spec = lambda *rest: NamedSharding(mesh, P(shard_axis, *rest))
     put = lambda a, spec: jax.device_put(jnp.asarray(a), spec)
     vecs_dev = put(vecs, shard_spec(None, None))
+    if space.storage_dtype != jnp.float32:
+        # serve-trim vector table (the sharded mirror of the single-chip
+        # --hbm_trim config): rescore + seed matmul read these rows and the
+        # MXU computes in bf16 anyway — halves per-device vector bytes
+        vecs_dev = jax.jit(
+            lambda v: v.astype(space.storage_dtype),
+            donate_argnums=0,
+            out_shardings=shard_spec(None, None),
+        )(vecs_dev)
     level0_dev = put(level0, shard_spec(None, None))
     upper_dev = put(upper, shard_spec(None, None, None))
     upper_slot_dev = put(upper_slot, shard_spec(None, None))
@@ -341,6 +352,11 @@ def build_sharded_arrays(
                 uni_tab, codes, scales, level0_dev[:, st:e], jnp.int32(st)
             )
         uni_tab = jax.block_until_ready(uni_tab)
+        if not keep_delta_tables:
+            # serve-only stack: drop the quantized side tables used for
+            # row-delta refresh (mutations then force a full re-stack) —
+            # the per-device analog of build_inline_tables' trim
+            codes, scales = dummy_codes, dummy_scales
     elif kind == "split":
         from hnsw_tpu.ops.pallas_gather import (
             make_inline_neighbors,
@@ -364,7 +380,7 @@ def build_sharded_arrays(
             out_shardings=shard_spec(None, None, None),
         )(level0_dev)
 
-    if kind in ("unified", "unified8", "unified4") and max_l > 0:
+    if kind in ("unified", "unified8", "unified4") and max_l > 0 and upper_inline:
         out_sh = tuple(
             (shard_spec(None, None), shard_spec(None)) for _ in range(max_l)
         )
@@ -811,6 +827,11 @@ class ShardedHNSWIndex:
         self._synced_n: list[int] | None = None  # per-shard device-synced size
         self._pending_delta = False
         self.last_sync_mode: str | None = None
+        # serve-trim knobs (per-shard mirror of the single-chip --hbm_trim
+        # config): set idx.space = L2Space(dim, storage_dtype=jnp.bfloat16)
+        # to halve the vector table too
+        self.upper_inline = True
+        self.keep_delta_tables = True
 
     def build(self, data: np.ndarray, labels: np.ndarray | None = None) -> None:
         from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
@@ -856,7 +877,9 @@ class ShardedHNSWIndex:
             (b.export_graph(), b.export_vectors()) for b in self._builders
         ]
         self._arrays = build_sharded_arrays(
-            shards, self.space, self.mesh, self.shard_axis
+            shards, self.space, self.mesh, self.shard_axis,
+            upper_inline=self.upper_inline,
+            keep_delta_tables=self.keep_delta_tables,
         )
         for b in self._builders:
             b.clear_dirty()
@@ -886,6 +909,12 @@ class ShardedHNSWIndex:
 
         a = self._arrays
         kind = a.kind
+        if not self.keep_delta_tables or a.vectors.dtype != jnp.float32:
+            # serve-only stack (quantized side tables dropped) or trimmed
+            # bf16 vector table: the delta kernels assume f32 rows + live
+            # side tables — mutations re-stack in full (single-chip parity:
+            # _try_incremental_sync's nbr_vec[3] is None check)
+            return False
         s = self.num_shards
         n_pad = a.level0.shape[1]
         m0_pad = a.level0.shape[2]
@@ -1049,7 +1078,11 @@ class ShardedHNSWIndex:
                 ),
                 entry_point=jax.device_put(jnp.asarray(entry), spec()),
             )
-            if kind in ("unified", "unified8", "unified4") and max_l > 0:
+            if (
+                kind in ("unified", "unified8", "unified4")
+                and max_l > 0
+                and self.upper_inline
+            ):
                 from hnsw_tpu.ops.pallas_gather import (
                     make_upper_tables,
                     upper_level_sizes_u,
@@ -1188,7 +1221,9 @@ class ShardedHNSWIndex:
             self._builders.append(b)
             shards.append((g, vectors))
         self._arrays = build_sharded_arrays(
-            shards, self.space, self.mesh, self.shard_axis
+            shards, self.space, self.mesh, self.shard_axis,
+            upper_inline=self.upper_inline,
+            keep_delta_tables=self.keep_delta_tables,
         )
         for b in self._builders:
             b.clear_dirty()

@@ -35,7 +35,7 @@ def _recall(got, gt):
     return np.mean([len(set(got[i]) & set(gt[i])) / k for i in range(len(gt))])
 
 
-def _force_tier(idx, mesh, kind_budget):
+def _force_tier(idx, mesh, kind_budget, **kw):
     """(Re)build the stacked arrays at the requested tier."""
     shards = [
         (b.export_graph(), b.export_vectors()) for b in idx._builders
@@ -43,7 +43,7 @@ def _force_tier(idx, mesh, kind_budget):
     idx._arrays = build_sharded_arrays(
         shards, idx.space, mesh, "shard",
         inline_neighbors=kind_budget is not None,
-        unified_max_bytes=kind_budget,
+        unified_max_bytes=kind_budget, **kw,
     )
     for b in idx._builders:
         b.clear_dirty()
@@ -112,6 +112,40 @@ def test_incremental_delta_per_tier(data, budget, expect):
     d_full, l_full = idx.search(q, k=10, ef=150)
     np.testing.assert_allclose(d_delta, d_full, rtol=1e-5)
     np.testing.assert_array_equal(l_delta, l_full)
+
+
+def test_serve_trim_config(data):
+    """Sharded mirror of the single-chip --hbm_trim serve config (the N=4M
+    rung, res/sweep_4m.json): bf16 vector table, quantized side tables
+    dropped, no upper descent tables. Mutations must fall back to a full
+    re-stack (the delta kernels assume f32 rows + live side tables) and
+    still serve correctly."""
+    import jax.numpy as jnp
+
+    x, q, gt = data
+    mesh = Mesh(np.array(jax.devices()), ("shard",))
+    idx = ShardedHNSWIndex("l2", DIM, mesh=mesh, m=8, ef_construction=100)
+    idx.space = L2Space(DIM, storage_dtype=jnp.bfloat16)
+    idx.upper_inline = False
+    idx.keep_delta_tables = False
+    idx.build(x)
+    _force_tier(idx, mesh, 2 * 10**6,  # int8 rung
+                upper_inline=False, keep_delta_tables=False)
+    a = idx._arrays
+    assert a.kind == "unified8", a.kind
+    assert a.vectors.dtype == jnp.bfloat16
+    assert a.codes.shape == (mesh.size, 1, 1), "side tables not dropped"
+    assert a.upper_tabs == ()
+    d, labels = idx.search(q, k=10, ef=150)
+    assert _recall(labels, gt) >= 0.93
+
+    # mutations force a full re-stack and stay correct
+    rng = np.random.default_rng(9)
+    extra = rng.normal(size=(16, DIM)).astype(np.float32)
+    idx.add_items(extra, np.arange(N, N + 16))
+    d2, l2 = idx.search(extra, k=1, ef=150)
+    assert idx.last_sync_mode == "full", idx.last_sync_mode
+    assert (l2[:, 0] == np.arange(N, N + 16)).mean() >= 0.9
 
 
 def test_upper_growth_stays_delta(data):
