@@ -14,6 +14,11 @@
 //      hnswlib routes those through updatePoint/repairConnectionsForUpdate,
 //      hnswalg.h:965-1150 — then search; the update-churn semantics
 //      baseline for native/builder.cpp's update().)
+//   xcheck_hnswlib build_filter_search ... same args ... <mask.u8>
+//     (search with a BaseFilterFunctor admitting only labels whose mask
+//      byte is nonzero — hnswlib.h:128-132 / hnswalg.h:311-440's
+//      isIdAllowed path; the filtered-search semantics baseline for
+//      hnsw_search_filtered and the device filter_labels mask.)
 //
 // Reads raw little-endian float32 row-major arrays, builds a
 // HierarchicalNSW<float> over an L2Space (single thread, sequential
@@ -72,16 +77,28 @@ static void export_adj(hnswlib::HierarchicalNSW<float> &alg,
     }
 }
 
+struct MaskFilter : hnswlib::BaseFilterFunctor {
+    const uint8_t *mask;
+    explicit MaskFilter(const uint8_t *m) : mask(m) {}
+    bool operator()(hnswlib::labeltype label) override {
+        return mask[label] != 0;
+    }
+};
+
 int main(int argc, char **argv) {
     std::string mode = argc > 1 ? argv[1] : "";
     bool churn = mode == "build_churn_search";
-    if (argc < 11 || (mode != "build_search" && !churn) ||
-        (churn && argc < 15)) {
+    bool filter = mode == "build_filter_search";
+    if (argc < 11 || (mode != "build_search" && !churn && !filter) ||
+        (churn && argc < 15) || (filter && argc < 13)) {
         fprintf(stderr, "usage: %s build_search data n dim M efC queries nq "
                         "k ef out_ids [adj_out]\n"
                         "       %s build_churn_search data n dim M efC "
                         "queries nq k ef out_ids upd.f32 "
-                        "upd_ids.u32 nu\n", argv[0], argv[0]);
+                        "upd_ids.u32 nu\n"
+                        "       %s build_filter_search data n dim M efC "
+                        "queries nq k ef out_ids mask.u8\n",
+                argv[0], argv[0], argv[0]);
         return 2;
     }
     std::string data_path = argv[2];
@@ -94,8 +111,8 @@ int main(int argc, char **argv) {
     size_t k = strtoull(argv[9], nullptr, 10);
     size_t ef = strtoull(argv[10], nullptr, 10);
     std::string out_path = argv[11];
-    // churn mode repurposes argv[12..14] for the update stream (no adj)
-    std::string adj_out = (!churn && argc > 12) ? argv[12] : "";
+    // churn/filter modes repurpose argv[12..] (no adj export there)
+    std::string adj_out = (!churn && !filter && argc > 12) ? argv[12] : "";
 
     std::vector<float> data = read_f32(data_path, n * dim);
     std::vector<float> queries = read_f32(q_path, nq * dim);
@@ -129,11 +146,22 @@ int main(int argc, char **argv) {
                       std::chrono::steady_clock::now() - t0).count();
     }
 
+    std::vector<uint8_t> mask;
+    MaskFilter mask_filter(nullptr);
+    if (filter) {
+        mask.resize(n);
+        std::ifstream in(argv[12], std::ios::binary);
+        in.read(reinterpret_cast<char *>(mask.data()), n);
+        if (!in) { fprintf(stderr, "short read %s\n", argv[12]); return 2; }
+        mask_filter.mask = mask.data();
+    }
+
     alg.setEf(ef);
     std::vector<int64_t> ids(nq * k, -1);
     t0 = std::chrono::steady_clock::now();
     for (size_t qi = 0; qi < nq; qi++) {
-        auto heap = alg.searchKnn(queries.data() + qi * dim, k);
+        auto heap = alg.searchKnn(queries.data() + qi * dim, k,
+                                  filter ? &mask_filter : nullptr);
         size_t got = heap.size();
         // max-heap pops worst first; fill back-to-front for ascending order
         for (size_t j = got; j-- > 0;) {

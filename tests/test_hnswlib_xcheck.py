@@ -138,6 +138,55 @@ def test_recall_parity_vs_real_hnswlib(dataset, hnswlib_run):
     )
 
 
+def test_filtered_search_parity_vs_real_hnswlib(dataset, tmp_path):
+    """Filtered search (BaseFilterFunctor, hnswlib.h:128-132) vs the real
+    engine: the repo's native CPU filter path AND the device filter_labels
+    mask must match real-hnswlib filtered recall at equal M/efC/ef."""
+    from hnsw_tpu.models.hnsw import HNSWIndex
+
+    bin1, _ = _binaries()
+    x, q, _ = dataset
+    rng = np.random.default_rng(3)
+    mask = rng.random(N) < 0.5  # admit ~half the labels
+
+    # filtered exact ground truth
+    d = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+    d[:, ~mask] = np.inf
+    gt = np.argsort(d, axis=1)[:, :K]
+
+    td = tmp_path
+    x.tofile(td / "data.f32")
+    q.tofile(td / "q.f32")
+    mask.astype(np.uint8).tofile(td / "mask.u8")
+    r = subprocess.run(
+        [bin1, "build_filter_search", str(td / "data.f32"), str(N), str(DIM),
+         str(M), str(EF_C), str(td / "q.f32"), str(NQ), str(K), str(EF),
+         str(td / "ids.i64"), str(td / "mask.u8")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ref_ids = np.fromfile(td / "ids.i64", dtype=np.int64).reshape(NQ, K)
+    assert all(mask[i] for i in ref_ids[ref_ids >= 0]), "ref leaked a label"
+    ref_recall = _recall(ref_ids, gt)
+    assert ref_recall >= 0.85, f"reference filtered sanity: {ref_recall}"
+
+    idx = HNSWIndex("l2", dim=DIM, m=M, ef_construction=EF_C)
+    idx.add_items(x)
+    _, cpu_ids, _ = idx.search_cpu(q, k=K, ef=EF, filter_labels=mask)
+    assert not np.any(~mask[cpu_ids[cpu_ids >= 0]]), "cpu leaked a label"
+    cpu_recall = _recall(cpu_ids, gt)
+    assert cpu_recall >= ref_recall - 0.01, (
+        f"native CPU {cpu_recall:.4f} vs real hnswlib {ref_recall:.4f}"
+    )
+
+    _, dev_ids = idx.search(q, k=K, ef=EF, filter_labels=mask)
+    assert not np.any(~mask[dev_ids[dev_ids >= 0]]), "device leaked a label"
+    dev_recall = _recall(dev_ids, gt)
+    assert dev_recall >= ref_recall - 0.01, (
+        f"device {dev_recall:.4f} vs real hnswlib {ref_recall:.4f}"
+    )
+
+
 def test_adj_export_loads_in_reference_loader(dataset, tmp_path):
     """Repo-exported .adj -> reference's own loader -> identical topology."""
     from hnsw_tpu.models.hnsw import HNSWIndex
