@@ -19,6 +19,12 @@
 //      byte is nonzero — hnswlib.h:128-132 / hnswalg.h:311-440's
 //      isIdAllowed path; the filtered-search semantics baseline for
 //      hnsw_search_filtered and the device filter_labels mask.)
+//   xcheck_hnswlib build_epsilon_search ... same args ... <eps> <min_c> <max_c>
+//     (range search via searchStopConditionClosest +
+//      EpsilonSearchStopCondition (hnswalg.h:1327-1378,
+//      stop_condition.h:218-275) — the semantics baseline for
+//      models/multivector.py's epsilon_search. out_ids is [nq, max_c],
+//      -1 padded; distances are raw squared L2 like the reference's.)
 //
 // Reads raw little-endian float32 row-major arrays, builds a
 // HierarchicalNSW<float> over an L2Space (single thread, sequential
@@ -39,6 +45,7 @@
 #include <vector>
 
 #include "hnswalg.h"
+#include "stop_condition.h"
 
 static std::vector<float> read_f32(const std::string &path, size_t count) {
     std::ifstream in(path, std::ios::binary);
@@ -89,8 +96,11 @@ int main(int argc, char **argv) {
     std::string mode = argc > 1 ? argv[1] : "";
     bool churn = mode == "build_churn_search";
     bool filter = mode == "build_filter_search";
-    if (argc < 11 || (mode != "build_search" && !churn && !filter) ||
-        (churn && argc < 15) || (filter && argc < 13)) {
+    bool eps = mode == "build_epsilon_search";
+    if (argc < 11 ||
+        (mode != "build_search" && !churn && !filter && !eps) ||
+        (churn && argc < 15) || (filter && argc < 13) ||
+        (eps && argc < 15)) {
         fprintf(stderr, "usage: %s build_search data n dim M efC queries nq "
                         "k ef out_ids [adj_out]\n"
                         "       %s build_churn_search data n dim M efC "
@@ -111,8 +121,9 @@ int main(int argc, char **argv) {
     size_t k = strtoull(argv[9], nullptr, 10);
     size_t ef = strtoull(argv[10], nullptr, 10);
     std::string out_path = argv[11];
-    // churn/filter modes repurpose argv[12..] (no adj export there)
-    std::string adj_out = (!churn && !filter && argc > 12) ? argv[12] : "";
+    // churn/filter/epsilon modes repurpose argv[12..] (no adj export there)
+    std::string adj_out =
+        (!churn && !filter && !eps && argc > 12) ? argv[12] : "";
 
     std::vector<float> data = read_f32(data_path, n * dim);
     std::vector<float> queries = read_f32(q_path, nq * dim);
@@ -154,6 +165,30 @@ int main(int argc, char **argv) {
         in.read(reinterpret_cast<char *>(mask.data()), n);
         if (!in) { fprintf(stderr, "short read %s\n", argv[12]); return 2; }
         mask_filter.mask = mask.data();
+    }
+
+    if (eps) {
+        float epsilon = strtof(argv[12], nullptr);
+        size_t min_c = strtoull(argv[13], nullptr, 10);
+        size_t max_c = strtoull(argv[14], nullptr, 10);
+        std::vector<int64_t> eids(nq * max_c, -1);
+        t0 = std::chrono::steady_clock::now();
+        for (size_t qi = 0; qi < nq; qi++) {
+            hnswlib::EpsilonSearchStopCondition<float> sc(epsilon, min_c,
+                                                          max_c);
+            auto res = alg.searchStopConditionClosest(
+                queries.data() + qi * dim, sc);
+            for (size_t j = 0; j < res.size() && j < max_c; j++)
+                eids[qi * max_c + j] = static_cast<int64_t>(res[j].second);
+        }
+        double eps_s = std::chrono::duration<double>(
+                           std::chrono::steady_clock::now() - t0).count();
+        std::ofstream out(out_path, std::ios::binary);
+        out.write(reinterpret_cast<const char *>(eids.data()),
+                  eids.size() * sizeof(int64_t));
+        printf("{\"build_s\": %.3f, \"query_s\": %.3f, \"qps\": %.1f}\n",
+               build_s, eps_s, nq / eps_s);
+        return 0;
     }
 
     alg.setEf(ef);

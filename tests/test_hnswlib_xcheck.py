@@ -187,6 +187,75 @@ def test_filtered_search_parity_vs_real_hnswlib(dataset, tmp_path):
     )
 
 
+def test_epsilon_search_parity_vs_real_hnswlib(dataset, tmp_path):
+    """Range search vs the real engine's EpsilonSearchStopCondition
+    (searchStopConditionClosest, hnswalg.h:1327-1378): per-query
+    within-epsilon result sets must match real-hnswlib quality against the
+    exact range ground truth."""
+    from hnsw_tpu.models.hnsw import HNSWIndex
+    from hnsw_tpu.models.multivector import epsilon_search
+
+    bin1, _ = _binaries()
+    x, q, _ = dataset
+    max_c, min_c = 32, 8
+    # epsilon at the ~20th-neighbor squared distance: most queries have a
+    # nonempty, sub-max_c range set
+    d = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+    epsilon = float(np.median(np.sort(d, axis=1)[:, 20]))
+    gt_sets = [
+        set(np.where(d[i] <= epsilon)[0][np.argsort(d[i][d[i] <= epsilon])]
+            [:max_c].tolist())
+        for i in range(NQ)
+    ]
+
+    td = tmp_path
+    x.tofile(td / "data.f32")
+    q.tofile(td / "q.f32")
+    r = subprocess.run(
+        [bin1, "build_epsilon_search", str(td / "data.f32"), str(N),
+         str(DIM), str(M), str(EF_C), str(td / "q.f32"), str(NQ), str(K),
+         str(EF), str(td / "eids.i64"), repr(epsilon), str(min_c),
+         str(max_c)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ref_ids = np.fromfile(td / "eids.i64", dtype=np.int64).reshape(NQ, max_c)
+
+    def set_recall(ids_row, gt):
+        got = set(int(v) for v in ids_row if v >= 0)
+        if not gt:
+            return 1.0
+        return len(got & gt) / len(gt)
+
+    ref_rec = float(np.mean([set_recall(ref_ids[i], gt_sets[i])
+                             for i in range(NQ)]))
+    # the reference's stop is aggressive (it quits once the frontier
+    # leaves the epsilon ball and min_candidates are found) — measured
+    # ~0.72 set recall at min_c=1, ~0.8+ at min_c=8 on this data; the
+    # sanity bar only guards that the mode ran sensibly
+    assert ref_rec >= 0.6, f"reference epsilon sanity: {ref_rec}"
+
+    idx = HNSWIndex("l2", dim=DIM, m=M, ef_construction=EF_C)
+    idx.add_items(x)
+    dists, labels, valid = epsilon_search(
+        idx, q, epsilon, min_candidates=min_c, max_candidates=max_c
+    )
+    # every within-epsilon claim must be true (distances are exact)
+    dd = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+    got_d = np.where(labels >= 0,
+                     np.take_along_axis(dd, np.maximum(labels, 0), axis=1),
+                     0.0)
+    in_eps = got_d <= epsilon * (1 + 1e-5)
+    rank = np.broadcast_to(np.arange(max_c)[None, :], labels.shape)
+    ok = in_eps | (rank < min_c)
+    assert np.all(ok[valid]), "returned a point outside epsilon"
+    our_rec = float(np.mean([set_recall(labels[i][valid[i]], gt_sets[i])
+                             for i in range(NQ)]))
+    assert our_rec >= ref_rec - 0.01, (
+        f"ours {our_rec:.4f} vs real hnswlib {ref_rec:.4f}"
+    )
+
+
 def test_adj_export_loads_in_reference_loader(dataset, tmp_path):
     """Repo-exported .adj -> reference's own loader -> identical topology."""
     from hnsw_tpu.models.hnsw import HNSWIndex
