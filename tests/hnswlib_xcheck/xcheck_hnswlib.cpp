@@ -25,6 +25,11 @@
 //      stop_condition.h:218-275) — the semantics baseline for
 //      models/multivector.py's epsilon_search. out_ids is [nq, max_c],
 //      -1 padded; distances are raw squared L2 like the reference's.)
+//   xcheck_hnswlib build_search_u8 data.u8 n dim M efC queries.u8 nq k ef \
+//       out_ids [out_dists.i32]
+//     (uint8 data over L2SpaceI (space_l2.h:294-323), integer distances —
+//      the baseline for the repo's exact l2u8 tier. With [out_dists.i32],
+//      also writes the raw int top-k distances for bit-exact comparison.)
 //
 // Reads raw little-endian float32 row-major arrays, builds a
 // HierarchicalNSW<float> over an L2Space (single thread, sequential
@@ -84,6 +89,70 @@ static void export_adj(hnswlib::HierarchicalNSW<float> &alg,
     }
 }
 
+static std::vector<uint8_t> read_u8(const std::string &path, size_t count) {
+    std::ifstream in(path, std::ios::binary);
+    if (!in) { fprintf(stderr, "cannot open %s\n", path.c_str()); exit(2); }
+    std::vector<uint8_t> v(count);
+    in.read(reinterpret_cast<char *>(v.data()), count);
+    if (!in) { fprintf(stderr, "short read from %s\n", path.c_str()); exit(2); }
+    return v;
+}
+
+// uint8 / integer-distance path (L2SpaceI, space_l2.h:294-323): the
+// baseline for the repo's exact `l2u8` storage tier.
+static int run_u8(int argc, char **argv) {
+    size_t n = strtoull(argv[3], nullptr, 10);
+    size_t dim = strtoull(argv[4], nullptr, 10);
+    size_t M = strtoull(argv[5], nullptr, 10);
+    size_t efC = strtoull(argv[6], nullptr, 10);
+    size_t nq = strtoull(argv[8], nullptr, 10);
+    size_t k = strtoull(argv[9], nullptr, 10);
+    size_t ef = strtoull(argv[10], nullptr, 10);
+    std::vector<uint8_t> data = read_u8(argv[2], n * dim);
+    std::vector<uint8_t> queries = read_u8(argv[7], nq * dim);
+
+    hnswlib::L2SpaceI space(dim);
+    hnswlib::HierarchicalNSW<int> alg(&space, n, M, efC, /*seed=*/100);
+    auto t0 = std::chrono::steady_clock::now();
+    for (size_t i = 0; i < n; i++)
+        alg.addPoint(data.data() + i * dim,
+                     static_cast<hnswlib::labeltype>(i));
+    double build_s =
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+            .count();
+
+    alg.setEf(ef);
+    std::vector<int64_t> ids(nq * k, -1);
+    std::vector<int32_t> dists(nq * k, -1);
+    t0 = std::chrono::steady_clock::now();
+    for (size_t qi = 0; qi < nq; qi++) {
+        auto heap = alg.searchKnn(queries.data() + qi * dim, k);
+        size_t got = heap.size();
+        for (size_t j = got; j-- > 0;) {
+            ids[qi * k + j] = static_cast<int64_t>(heap.top().second);
+            dists[qi * k + j] = heap.top().first;
+            heap.pop();
+        }
+    }
+    double query_s =
+        std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
+            .count();
+
+    std::ofstream out(argv[11], std::ios::binary);
+    out.write(reinterpret_cast<const char *>(ids.data()),
+              ids.size() * sizeof(int64_t));
+    out.close();
+    if (argc > 12) {
+        std::ofstream dout(argv[12], std::ios::binary);
+        dout.write(reinterpret_cast<const char *>(dists.data()),
+                   dists.size() * sizeof(int32_t));
+    }
+    printf("{\"build_s\": %.3f, \"query_s\": %.3f, \"qps\": %.1f, "
+           "\"max_level\": %d}\n",
+           build_s, query_s, nq / query_s, alg.maxlevel_);
+    return 0;
+}
+
 struct MaskFilter : hnswlib::BaseFilterFunctor {
     const uint8_t *mask;
     explicit MaskFilter(const uint8_t *m) : mask(m) {}
@@ -97,6 +166,7 @@ int main(int argc, char **argv) {
     bool churn = mode == "build_churn_search";
     bool filter = mode == "build_filter_search";
     bool eps = mode == "build_epsilon_search";
+    if (argc >= 12 && mode == "build_search_u8") return run_u8(argc, argv);
     if (argc < 11 ||
         (mode != "build_search" && !churn && !filter && !eps) ||
         (churn && argc < 15) || (filter && argc < 13) ||

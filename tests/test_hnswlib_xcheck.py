@@ -256,6 +256,61 @@ def test_epsilon_search_parity_vs_real_hnswlib(dataset, tmp_path):
     )
 
 
+def test_u8_space_parity_vs_real_hnswlib(tmp_path):
+    """Exact-uint8 tier vs the real engine's L2SpaceI (space_l2.h:294-323):
+    recall parity at equal M/efC/ef AND bit-exact integer distances on both
+    sides (the repo's l2u8 claim, verified against the reference engine)."""
+    from hnsw_tpu.models.hnsw import HNSWIndex
+
+    bin1, _ = _binaries()
+    rng = np.random.default_rng(11)
+    centers = rng.integers(60, 196, size=(64, DIM))
+    x = np.clip(
+        centers[rng.integers(0, 64, N)]
+        + rng.integers(-40, 41, size=(N, DIM)),
+        0, 255,
+    ).astype(np.uint8)
+    q = np.clip(
+        x[rng.integers(0, N, NQ)].astype(np.int64)
+        + rng.integers(-8, 9, size=(NQ, DIM)),
+        0, 255,
+    ).astype(np.uint8)
+    d = ((q[:, None, :].astype(np.int64) - x[None].astype(np.int64)) ** 2
+         ).sum(-1)
+    gt = np.argsort(d, axis=1)[:, :K]
+
+    td = tmp_path
+    x.tofile(td / "data.u8")
+    q.tofile(td / "q.u8")
+    r = subprocess.run(
+        [bin1, "build_search_u8", str(td / "data.u8"), str(N), str(DIM),
+         str(M), str(EF_C), str(td / "q.u8"), str(NQ), str(K), str(EF),
+         str(td / "ids.i64"), str(td / "dists.i32")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ref_ids = np.fromfile(td / "ids.i64", dtype=np.int64).reshape(NQ, K)
+    ref_dists = np.fromfile(td / "dists.i32", dtype=np.int32).reshape(NQ, K)
+    # the reference's integer distances must equal exact int64 numpy
+    exact_ref = np.take_along_axis(d, np.maximum(ref_ids, 0), axis=1)
+    ok = ref_ids >= 0
+    np.testing.assert_array_equal(ref_dists[ok], exact_ref[ok])
+    ref_recall = _recall(ref_ids, gt)
+    assert ref_recall >= 0.90, f"reference L2SpaceI sanity: {ref_recall}"
+
+    idx = HNSWIndex("l2u8", dim=DIM, m=M, ef_construction=EF_C)
+    idx.add_items(x)
+    our_d, our_ids = idx.search(q, k=K, ef=EF)
+    our_recall = _recall(our_ids, gt)
+    assert our_recall >= ref_recall - 0.01, (
+        f"ours {our_recall:.4f} vs real hnswlib L2SpaceI {ref_recall:.4f}"
+    )
+    # our served distances are bit-exact integers too
+    exact_ours = np.take_along_axis(d, np.maximum(our_ids, 0), axis=1)
+    ok = our_ids >= 0
+    np.testing.assert_array_equal(our_d[ok].astype(np.int64), exact_ours[ok])
+
+
 def test_adj_export_loads_in_reference_loader(dataset, tmp_path):
     """Repo-exported .adj -> reference's own loader -> identical topology."""
     from hnsw_tpu.models.hnsw import HNSWIndex
