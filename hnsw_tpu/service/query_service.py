@@ -246,6 +246,18 @@ class _Engine:
 
     def search(self, queries: np.ndarray, k: int, ef: int, entry_ids=None,
                mode: str | None = None):
+        return self.search_resolve(
+            self.search_launch(queries, k, ef, entry_ids, mode)
+        )
+
+    def search_launch(self, queries: np.ndarray, k: int, ef: int,
+                      entry_ids=None, mode: str | None = None):
+        """Dispatch the device search WITHOUT forcing the result (JAX async
+        dispatch): returns an opaque handle for search_resolve. Splitting
+        launch/resolve lets the micro-batcher overlap batch N's device
+        execution with batch N-1's readback — measured 2x sustained
+        throughput on the relay (res/latency_100k.json: an unpipelined
+        8192-batch call is 48.5ms vs 23.9ms pipelined)."""
         import jax.numpy as jnp
 
         from hnsw_tpu.models.hnsw import inline_search_kwargs
@@ -307,8 +319,13 @@ class _Engine:
                 k=k, m=m_res, space=self.space, interpret=self.interpret,
             )
             res = type(res)(rd, ri, res.hops, res.dist_comps)
-        dists = np.asarray(res.dists)[:b0]
-        ids = np.asarray(res.ids)[:b0]
+        return res.dists, res.ids, b0
+
+    def search_resolve(self, handle):
+        """Force a search_launch handle to host → (dists, labels)."""
+        dists_dev, ids_dev, b0 = handle
+        dists = np.asarray(dists_dev)[:b0]
+        ids = np.asarray(ids_dev)[:b0]
         labels = np.where(
             np.isfinite(dists), self.labels_np[np.minimum(ids, len(self.labels_np) - 1)], -1
         )
@@ -351,27 +368,39 @@ class _MicroBatcher:
         return kb, efb
 
     def _run(self):
+        # 1-deep pipeline: launch batch N's device call (JAX async
+        # dispatch), THEN resolve batch N-1's readback while N executes —
+        # sustained throughput becomes device-bound instead of paying
+        # dispatch+readback serially per batch (measured 2x on the relay,
+        # res/latency_100k.json). `inflight` holds (items, handle) pairs
+        # launched but not yet resolved.
+        inflight: list = []
         while True:
             with self.lock:
-                while not self.pending:
+                # resolve any inflight work BEFORE sleeping for new
+                # requests — the last batch's waiters must not hang on the
+                # arrival of a next one
+                while not self.pending and not inflight:
                     self.kick.wait()
-                # collect for the window on the condition variable (no
-                # spin-poll): each arrival notifies, the deadline bounds it
-                deadline = time.time() + self.window
-                while len(self.pending) < self.max_batch:
-                    left = deadline - time.time()
-                    if left <= 0:
-                        break
-                    self.kick.wait(timeout=left)
-                batch = self.pending[: self.max_batch]
-                self.pending = self.pending[self.max_batch :]
-            if not batch:
-                continue
+                batch = []
+                if self.pending:
+                    # collect for the window on the condition variable (no
+                    # spin-poll): each arrival notifies, the deadline
+                    # bounds it
+                    deadline = time.time() + self.window
+                    while len(self.pending) < self.max_batch:
+                        left = deadline - time.time()
+                        if left <= 0:
+                            break
+                        self.kick.wait(timeout=left)
+                    batch = self.pending[: self.max_batch]
+                    self.pending = self.pending[self.max_batch :]
             # group by the (k, ef) BUCKET + mode to keep shapes static per call
             groups: dict = {}
             for item in batch:
                 key = self._bucket(item[1], item[2]) + (item[6],)
                 groups.setdefault(key, []).append(item)
+            launched: list = []
             for (k, ef, mode), items in groups.items():
                 q = np.stack([it[0] for it in items])
                 ents = [it[3] for it in items]
@@ -386,7 +415,17 @@ class _MicroBatcher:
                     # use graph entry for those rows
                     ent = np.where(ent < 0, int(self.engine.dg.entry_point), ent)
                 try:
-                    d, l = self.engine.search(q, k, ef, ent, mode=mode)
+                    h = self.engine.search_launch(q, k, ef, ent, mode=mode)
+                except Exception as exc:  # launch-time errors surface now
+                    for it in items:
+                        it[5]["error"] = str(exc)
+                        it[4].set()
+                    continue
+                launched.append((items, h))
+            # resolve the PREVIOUS launches while the new ones execute
+            for items, h in inflight:
+                try:
+                    d, l = self.engine.search_resolve(h)
                     for i, it in enumerate(items):
                         # slice back to the request's own k (bucket k >= it)
                         it[5]["dists"] = d[i][: it[1]]
@@ -396,6 +435,7 @@ class _MicroBatcher:
                         it[5]["error"] = str(exc)
                 for it in items:
                     it[4].set()
+            inflight = launched
 
 
 def _fetch_bulk_vectors(storage: str, dim: int, retries: int = 3):
