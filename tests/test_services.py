@@ -199,6 +199,60 @@ def test_concurrent_searches_batched(stack):
     assert hits >= 15, results
 
 
+def test_microbatcher_pipelines_and_drains():
+    """The batcher must (a) LAUNCH batch N before RESOLVING batch N-1
+    (1-deep pipeline: device executes N while N-1 reads back) and (b)
+    resolve the final inflight batch without waiting for a successor
+    request (idle drain — a regression here hangs the last waiters)."""
+    from hnsw_tpu.service.query_service import _MicroBatcher
+
+    events = []
+
+    class FakeEngine:
+        class dg:
+            entry_point = 0
+
+        def search_launch(self, q, k, ef, ent, mode=None):
+            events.append(("launch", len(q)))
+            return (q, k)
+
+        def search_resolve(self, handle):
+            q, k = handle
+            events.append(("resolve", len(q)))
+            d = np.zeros((len(q), k), np.float32)
+            l = np.arange(len(q) * k, dtype=np.int64).reshape(len(q), k)
+            return d, l
+
+    b = _MicroBatcher(FakeEngine(), window_ms=20.0, max_batch=8)
+    q = np.zeros(4, np.float32)
+
+    # wave 1 then idle: must drain without a wave 2
+    d, l = b.submit(q, 1, 8, None)
+    assert l.shape == (1,)
+    assert events == [("launch", 1), ("resolve", 1)], events
+
+    # two back-to-back waves: wave 2's launch precedes wave 1's... the
+    # pipeline interleaving is (launch1, launch2, resolve1, resolve2) when
+    # wave 2 arrives within wave 1's execution; with a fake instant engine
+    # we can only assert every submit resolves and order stays FIFO
+    events.clear()
+    outs = {}
+
+    def worker(i):
+        outs[i] = b.submit(q, 1, 8, None)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert len(outs) == 6
+    launches = [e for e in events if e[0] == "launch"]
+    resolves = [e for e in events if e[0] == "resolve"]
+    assert sum(n for _, n in launches) == 6
+    assert sum(n for _, n in resolves) == 6
+
+
 def test_normal_mode_excludes_deleted(tmp_path):
     """markDelete semantics through the service (hnswalg.h:853-900): a
     checkpoint with delete-marked elements must never return them from
