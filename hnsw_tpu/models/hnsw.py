@@ -962,9 +962,15 @@ class HNSWIndex:
     @classmethod
     def load(cls, path: str) -> "HNSWIndex":
         from hnsw_tpu.io.checkpoint import load_checkpoint
+
+        return cls._from_parts(*load_checkpoint(path))
+
+    @classmethod
+    def _from_parts(cls, g, vectors, deleted, meta) -> "HNSWIndex":
+        """Construct a live index from (graph, internal vectors, deleted
+        mask, meta) — the shared tail of every persistence loader."""
         from hnsw_tpu.native.hnsw_builder import NativeHNSWBuilder
 
-        g, vectors, deleted, meta = load_checkpoint(path)
         self = cls.__new__(cls)
         self.space = get_space(meta["space"], meta["dim"])
         self.dim = meta["dim"]
@@ -987,6 +993,49 @@ class HNSWIndex:
         self.allow_replace_deleted = bool(meta.get("allow_replace_deleted", False))
         self.growth_headroom = 1 / 16
         return self
+
+    @classmethod
+    def from_hnswlib(cls, path: str, space: str = "l2") -> "HNSWIndex":
+        """Import a stock hnswlib binary index file (the saveIndex format,
+        hnswlib/hnswalg.h:685-822) — graph topology, vectors, labels and
+        delete marks — into a live TPU index. `space` is the space the file
+        was built over: 'l2' / 'ip' / 'cosine' (f32 data) or 'l2u8' (the
+        integer L2SpaceI layout). Validated against index files the actual
+        compiled reference engine saves (tests/test_hnswlib_bin.py)."""
+        from hnsw_tpu.io.hnswbin import read_bin
+
+        g, vectors, deleted, meta = read_bin(path, space=space)
+        sp = get_space(space, meta["dim"])
+        # file vectors are raw inserted values; internal storage is the
+        # space's preprocessed form (shift for l2u8, normalize for cosine —
+        # idempotent on already-normalized rows)
+        internal = sp.preprocess(vectors) if g.num_nodes else np.zeros(
+            (0, meta["dim"]), np.float32
+        )
+        return cls._from_parts(
+            g, internal, deleted,
+            {"space": space, "dim": meta["dim"], "m": meta["m"],
+             "ef_construction": meta["ef_construction"]},
+        )
+
+    def save_hnswlib(self, path: str) -> None:
+        """Export to the stock hnswlib saveIndex format, loadable by the
+        reference engine's loadIndex (round-tripped through the actual
+        compiled engine in tests/test_hnswlib_bin.py). 'l2'/'ip' write f32
+        data for L2Space/InnerProductSpace, 'cosine' writes the normalized
+        rows (load over InnerProductSpace), 'l2u8' writes u8 codes for
+        L2SpaceI."""
+        from hnsw_tpu.io.hnswbin import write_bin
+
+        vectors = self._builder.export_vectors()
+        name = self.space.persist_name
+        if name == "l2u8":
+            vectors = self.space.decode(vectors)  # back to u8-range codes
+        write_bin(
+            path, self._builder.export_graph(), vectors,
+            self._builder.export_deleted(), space=name, m=self.m,
+            ef_construction=self.ef_construction,
+        )
 
     def export_adj(self, path: str) -> None:
         """Write the reference-compatible adjacency file

@@ -153,6 +153,67 @@ static int run_u8(int argc, char **argv) {
     return 0;
 }
 
+// loadIndex path (hnswalg.h:716-822): load a .bin saved by either engine,
+// search, write ids — the acceptance test for the repo's write_bin and the
+// producer of real-engine .bin fixtures (via build_save below).
+//   xcheck_hnswlib load_search <index.bin> <dim> <queries.f32> <nq> <k> <ef>
+//       <out_ids.i64> [u8]
+// With trailing "u8", loads over L2SpaceI and reads u8 queries.
+static int run_load_search(int argc, char **argv) {
+    if (argc < 9) {
+        fprintf(stderr, "usage: %s load_search index.bin dim queries nq k ef "
+                        "out_ids [u8]\n", argv[0]);
+        return 2;
+    }
+    std::string bin_path = argv[2];
+    size_t dim = strtoull(argv[3], nullptr, 10);
+    size_t nq = strtoull(argv[5], nullptr, 10);
+    size_t k = strtoull(argv[6], nullptr, 10);
+    size_t ef = strtoull(argv[7], nullptr, 10);
+    bool u8 = argc > 9 && std::string(argv[9]) == "u8";
+
+    std::vector<int64_t> ids(nq * k, -1);
+    double query_s;
+    if (u8) {
+        std::vector<uint8_t> queries = read_u8(argv[4], nq * dim);
+        hnswlib::L2SpaceI space(dim);
+        hnswlib::HierarchicalNSW<int> alg(&space, bin_path);
+        alg.setEf(ef);
+        auto t0 = std::chrono::steady_clock::now();
+        for (size_t qi = 0; qi < nq; qi++) {
+            auto heap = alg.searchKnn(queries.data() + qi * dim, k);
+            size_t got = heap.size();
+            for (size_t j = got; j-- > 0;) {
+                ids[qi * k + j] = static_cast<int64_t>(heap.top().second);
+                heap.pop();
+            }
+        }
+        query_s = std::chrono::duration<double>(
+                      std::chrono::steady_clock::now() - t0).count();
+    } else {
+        std::vector<float> queries = read_f32(argv[4], nq * dim);
+        hnswlib::L2Space space(dim);
+        hnswlib::HierarchicalNSW<float> alg(&space, bin_path);
+        alg.setEf(ef);
+        auto t0 = std::chrono::steady_clock::now();
+        for (size_t qi = 0; qi < nq; qi++) {
+            auto heap = alg.searchKnn(queries.data() + qi * dim, k);
+            size_t got = heap.size();
+            for (size_t j = got; j-- > 0;) {
+                ids[qi * k + j] = static_cast<int64_t>(heap.top().second);
+                heap.pop();
+            }
+        }
+        query_s = std::chrono::duration<double>(
+                      std::chrono::steady_clock::now() - t0).count();
+    }
+    std::ofstream out(argv[8], std::ios::binary);
+    out.write(reinterpret_cast<const char *>(ids.data()),
+              ids.size() * sizeof(int64_t));
+    printf("{\"query_s\": %.3f, \"qps\": %.1f}\n", query_s, nq / query_s);
+    return 0;
+}
+
 struct MaskFilter : hnswlib::BaseFilterFunctor {
     const uint8_t *mask;
     explicit MaskFilter(const uint8_t *m) : mask(m) {}
@@ -167,6 +228,7 @@ int main(int argc, char **argv) {
     bool filter = mode == "build_filter_search";
     bool eps = mode == "build_epsilon_search";
     if (argc >= 12 && mode == "build_search_u8") return run_u8(argc, argv);
+    if (mode == "load_search") return run_load_search(argc, argv);
     if (argc < 11 ||
         (mode != "build_search" && !churn && !filter && !eps) ||
         (churn && argc < 15) || (filter && argc < 13) ||
@@ -194,6 +256,10 @@ int main(int argc, char **argv) {
     // churn/filter/epsilon modes repurpose argv[12..] (no adj export there)
     std::string adj_out =
         (!churn && !filter && !eps && argc > 12) ? argv[12] : "";
+    // optional native saveIndex export (hnswalg.h:685-713): the real-engine
+    // .bin fixture for the repo's read_bin / from_hnswlib ("" skips)
+    std::string bin_out =
+        (!churn && !filter && !eps && argc > 13) ? argv[13] : "";
 
     std::vector<float> data = read_f32(data_path, n * dim);
     std::vector<float> queries = read_f32(q_path, nq * dim);
@@ -284,6 +350,7 @@ int main(int argc, char **argv) {
     out.close();
 
     if (!adj_out.empty()) export_adj(alg, adj_out);
+    if (!bin_out.empty()) alg.saveIndex(bin_out);
 
     printf("{\"build_s\": %.3f, \"query_s\": %.3f, \"qps\": %.1f, "
            "\"max_level\": %d, \"entrypoint\": %u, \"churn_s\": %.3f}\n",
