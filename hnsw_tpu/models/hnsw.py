@@ -723,8 +723,11 @@ class HNSWIndex:
         order) are the native output order here, no reversal needed.
 
         `filter_labels`: bool mask over external labels (BaseFilterFunctor
-        semantics, hnswlib/hnswlib.h:128-132). Deleted elements are always
-        excluded from results (markDelete semantics, hnswalg.h:853-900).
+        semantics, hnswlib/hnswlib.h:128-132) — either one shared [L] mask
+        for the whole batch, or a per-query [B, L] mask (the reference's
+        functor is evaluated per query; per-tenant serving filters need a
+        different allowlist per row). Deleted elements are always excluded
+        from results (markDelete semantics, hnswalg.h:853-900).
 
         `entry_seeds` / `seed_pool`: landmark-seeded entry — shorthand for
         `SearchParams(entry_seeds=, seed_pool=)` when no explicit `params`
@@ -749,10 +752,22 @@ class HNSWIndex:
         if deleted.any() or filter_labels is not None:
             eligible = ~deleted
             if filter_labels is not None:
-                ok = np.zeros_like(eligible)
+                fl = np.asarray(filter_labels, dtype=bool)
                 valid = labels_np >= 0
-                ok[valid] = np.asarray(filter_labels, dtype=bool)[labels_np[valid]]
-                eligible = eligible & ok
+                if fl.ndim == 2:
+                    # per-query masks: expand label-space rows to node-space
+                    # [B, N_pad] (padded queries get all-False rows — their
+                    # results are discarded anyway)
+                    assert fl.shape[0] == b0, (
+                        f"filter_labels rows {fl.shape[0]} != batch {b0}"
+                    )
+                    ok = np.zeros((b_pad, eligible.shape[0]), dtype=bool)
+                    ok[:b0, valid] = fl[:, labels_np[valid]]
+                    eligible = eligible[None, :] & ok
+                else:
+                    ok = np.zeros_like(eligible)
+                    ok[valid] = fl[labels_np[valid]]
+                    eligible = eligible & ok
             eligible = jnp.asarray(eligible)
 
         m_res = params.rescore
@@ -929,14 +944,24 @@ class HNSWIndex:
 
         `filter_labels` mirrors the device path's BaseFilterFunctor mask
         (hnswlib/hnswlib.h:128-132, hnswalg.h:1271): a bool mask over
-        external labels, so filtered device queries have a CPU oracle."""
-        eligible = None
+        external labels — [L] shared, or [B, L] per query — so filtered
+        device queries have a CPU oracle."""
+        q = self.space.preprocess(queries)
         if filter_labels is not None:
+            fl = np.asarray(filter_labels, dtype=bool)
             labs = self._builder.export_graph().labels
-            eligible = np.asarray(filter_labels, dtype=bool)[labs]
-        return self._builder.search_batch(
-            self.space.preprocess(queries), k, ef, eligible=eligible
-        )
+            if fl.ndim == 2:
+                # per-query functor semantics: one filtered search per row
+                assert fl.shape[0] == q.shape[0]
+                parts = [
+                    self._builder.search_batch(
+                        q[i : i + 1], k, ef, eligible=fl[i][labs]
+                    )
+                    for i in range(q.shape[0])
+                ]
+                return tuple(np.concatenate(p) for p in zip(*parts))
+            return self._builder.search_batch(q, k, ef, eligible=fl[labs])
+        return self._builder.search_batch(q, k, ef, eligible=None)
 
     # -- persistence (reference: saveIndex/loadIndex hnswalg.h:685-822 and
     # the .adj export, index_builder/build.cpp:22-107) ----------------------

@@ -193,6 +193,19 @@ def _bitonic_merge_topk(
     return d[:, :ef], p[:, :ef]
 
 
+def _mask_lookup(eligible: Array, ids: Array) -> Array:
+    """Eligibility lookup for candidate ids. `eligible` is either a shared
+    [N_pad] mask or a per-query [B, N_pad] mask — the batched analog of the
+    reference evaluating BaseFilterFunctor per query (hnswlib/hnswlib.h:
+    128-132): every query in the batch can carry its own allowlist (e.g.
+    per-tenant serving filters)."""
+    if eligible.ndim == 2:
+        if ids.ndim == 1:
+            return jnp.take_along_axis(eligible, ids[:, None], axis=1)[:, 0]
+        return jnp.take_along_axis(eligible, ids, axis=1)
+    return jnp.take(eligible, ids, axis=0)
+
+
 class _BeamState(NamedTuple):
     beam_d: Array  # [B, ef] ascending
     beam_key: Array  # [B, ef] int32: id*2 + expanded_flag
@@ -252,7 +265,8 @@ def search_batch(
     ef: int,
     space: str = "l2",
     sq_norms: Array | None = None,
-    eligible: Array | None = None,  # [N_pad] bool; None => all eligible
+    eligible: Array | None = None,  # [N_pad] bool shared mask, or [B, N_pad]
+    #   bool per-query masks; None => all eligible
     entry_ids: Array | None = None,  # [B] int32 per-query entry override
     seed_ids: Array | None = None,  # [B, S] int32 multi-seed beam init:
     #   skip the upper-layer descent and start the beam at these ids (must
@@ -333,7 +347,7 @@ def search_batch(
         res_d = jnp.full((b, ef), _INF)
         res_id = jnp.full((b, ef), sent, dtype=jnp.int32)
         if use_mask:
-            e_ok = jnp.take(eligible, sid, axis=0) & (sd < _INF)
+            e_ok = _mask_lookup(eligible, sid) & (sd < _INF)
             res_d, res_id = _bitonic_merge_topk(
                 res_d,
                 res_id,
@@ -413,7 +427,7 @@ def search_batch(
     res_d = jnp.full((b, ef), _INF)
     res_id = jnp.full((b, ef), sent, dtype=jnp.int32)
     if use_mask:
-        e_ok = jnp.take(eligible, cur, axis=0) & (cur_d < _INF)
+        e_ok = _mask_lookup(eligible, cur) & (cur_d < _INF)
         res_d = res_d.at[:, 0].set(jnp.where(e_ok, cur_d, _INF))
         res_id = res_id.at[:, 0].set(jnp.where(e_ok, cur, sent))
 
@@ -536,7 +550,7 @@ def _beam_level0(
 
         if use_mask:
             safe_n = jnp.where(nbrs < n_pad, nbrs, sent)
-            ok = jnp.take(eligible, safe_n, axis=0) & fresh
+            ok = _mask_lookup(eligible, safe_n) & fresh
             rd = jnp.where(ok, d, _INF)
             ri = jnp.where(ok, nbrs, sent)
             res_d2, res_id2 = _bitonic_merge_topk(

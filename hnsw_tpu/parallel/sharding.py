@@ -483,7 +483,8 @@ def sharded_landmark_arrays(
 def sharded_search(
     arrays: ShardedIndexArrays,
     queries: jax.Array,  # [B, D], replicated (or dp-sharded) across devices
-    eligible: jax.Array,  # [S, n_pad] bool per-shard mask ([S, 1] dummy when off)
+    eligible: jax.Array,  # [S, n_pad] bool per-shard mask, or [S, B, n_pad]
+    #   per-query masks ([S, 1] dummy when off)
     entry_ids: jax.Array,  # [S, B] int32 per-shard entry override ([S, 1] dummy)
     landmarks=None,  # (lv [S,L,D], li [S,L], lsq [S,L]) per-shard landmark
     #   set from sharded_landmark_arrays, or None (required if entry_seeds>0)
@@ -546,7 +547,13 @@ def sharded_search(
         kind=arrays.kind,
     )
     out_spec = (q_spec, q_spec) if dp_axis else (P(), P())
-    elig_spec = P(shard_axis, None)
+    # per-query masks carry a batch axis that must follow the dp split
+    if eligible.ndim == 3:
+        elig_spec = P(shard_axis, dp_axis, None) if dp_axis else P(
+            shard_axis, None, None
+        )
+    else:
+        elig_spec = P(shard_axis, None)
     # the dummy entry array is [S, 1] — only dp-split a real [S, B] one
     ent_spec = (
         P(shard_axis, dp_axis) if (dp_axis and has_entry) else P(shard_axis, None)
@@ -1274,15 +1281,31 @@ class ShardedHNSWIndex:
         n_pad = arrays.level0.shape[1]
         any_deleted = any(d.any() for d in self._shard_deleted)
         has_mask = any_deleted or filter_labels is not None
-        if has_mask:
+        fl = (
+            np.asarray(filter_labels, dtype=bool)
+            if filter_labels is not None else None
+        )
+        if fl is not None and fl.ndim == 2:
+            # per-query masks (single-chip parity): [B, L] over external
+            # labels -> [S, B_pad, n_pad] over shard-local ids; padded
+            # queries get all-False rows (their results are discarded)
+            assert fl.shape[0] == b0, (
+                f"filter_labels rows {fl.shape[0]} != batch {b0}"
+            )
+            elig = np.zeros((s, b_pad, n_pad), dtype=bool)
+            for i in range(s):
+                n_i = len(self._shard_deleted[i])
+                ok = fl[:, self._shard_labels[i]]
+                ok &= ~self._shard_deleted[i][None, :]
+                elig[i, :b0, :n_i] = ok
+            eligible = jnp.asarray(elig)
+        elif has_mask:
             elig = np.ones((s, n_pad), dtype=bool)
             for i in range(s):
                 n_i = len(self._shard_deleted[i])
                 ok = ~self._shard_deleted[i]
-                if filter_labels is not None:
-                    ok = ok & np.asarray(filter_labels, dtype=bool)[
-                        self._shard_labels[i]
-                    ]
+                if fl is not None:
+                    ok = ok & fl[self._shard_labels[i]]
                 elig[i, :n_i] = ok
             eligible = jnp.asarray(elig)
         else:

@@ -222,6 +222,45 @@ struct MaskFilter : hnswlib::BaseFilterFunctor {
     }
 };
 
+// loadIndex + filtered search: the per-query-functor parity producer
+// (hnswlib.h:128-132 — the reference evaluates its filter per searchKnn
+// call, i.e. per query; run this once per distinct mask).
+//   xcheck_hnswlib load_filter_search <index.bin> <dim> <queries.f32> <nq>
+//       <k> <ef> <out_ids.i64> <mask.u8> <mask_len>
+static int run_load_filter_search(int argc, char **argv) {
+    if (argc < 11) {
+        fprintf(stderr, "usage: %s load_filter_search index.bin dim queries "
+                        "nq k ef out_ids mask.u8 mask_len\n", argv[0]);
+        return 2;
+    }
+    size_t dim = strtoull(argv[3], nullptr, 10);
+    size_t nq = strtoull(argv[5], nullptr, 10);
+    size_t k = strtoull(argv[6], nullptr, 10);
+    size_t ef = strtoull(argv[7], nullptr, 10);
+    size_t mask_len = strtoull(argv[10], nullptr, 10);
+    std::vector<float> queries = read_f32(argv[4], nq * dim);
+    std::vector<uint8_t> mask = read_u8(argv[9], mask_len);
+    MaskFilter filt(mask.data());
+
+    hnswlib::L2Space space(dim);
+    hnswlib::HierarchicalNSW<float> alg(&space, argv[2]);
+    alg.setEf(ef);
+    std::vector<int64_t> ids(nq * k, -1);
+    for (size_t qi = 0; qi < nq; qi++) {
+        auto heap = alg.searchKnn(queries.data() + qi * dim, k, &filt);
+        size_t got = heap.size();
+        for (size_t j = got; j-- > 0;) {
+            ids[qi * k + j] = static_cast<int64_t>(heap.top().second);
+            heap.pop();
+        }
+    }
+    std::ofstream out(argv[8], std::ios::binary);
+    out.write(reinterpret_cast<const char *>(ids.data()),
+              ids.size() * sizeof(int64_t));
+    printf("{\"nq\": %zu}\n", nq);
+    return 0;
+}
+
 int main(int argc, char **argv) {
     std::string mode = argc > 1 ? argv[1] : "";
     bool churn = mode == "build_churn_search";
@@ -229,6 +268,7 @@ int main(int argc, char **argv) {
     bool eps = mode == "build_epsilon_search";
     if (argc >= 12 && mode == "build_search_u8") return run_u8(argc, argv);
     if (mode == "load_search") return run_load_search(argc, argv);
+    if (mode == "load_filter_search") return run_load_filter_search(argc, argv);
     if (argc < 11 ||
         (mode != "build_search" && !churn && !filter && !eps) ||
         (churn && argc < 15) || (filter && argc < 13) ||
