@@ -678,7 +678,18 @@ def main():
     # no per-level upper descent tables. Pair with --entry_seeds: seeded
     # modes never descend, so the dropped tables cost nothing.
     ap.add_argument("--hbm_trim", type=int, default=0)
+    # RLIMIT_AS self-cap (reference main.cpp:19-22; the native frontend
+    # defaults to 2048). Default 0 = OFF here: the TPU runtime maps device
+    # buffers into the address space, so a blanket cap would kill the
+    # engine — opt in for the optimized/CPU modes whose RSS claims the
+    # experiment harness audits.
+    ap.add_argument("--mem_cap_mb", type=int, default=0)
     args = ap.parse_args()
+    if args.mem_cap_mb > 0:
+        from hnsw_tpu.utils.rss import apply_mem_cap
+
+        if apply_mem_cap(args.mem_cap_mb):
+            print(f"RLIMIT_AS capped at {args.mem_cap_mb} MB", flush=True)
     optimized = args.optimized in ("1", "true", "True")
     engine = build_engine(
         args.graph, optimized, args.storage, args.dim, args.ef, args.k,

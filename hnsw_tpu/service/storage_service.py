@@ -149,7 +149,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("dbpath", nargs="?", default="./vec_store.log")
     ap.add_argument("port", nargs="?", type=int, default=8081)
+    # RLIMIT_AS self-cap (reference main.cpp:19-22 parity); 0 = off
+    ap.add_argument("--mem_cap_mb", type=int, default=0)
     args = ap.parse_args()
+    if args.mem_cap_mb > 0:
+        from hnsw_tpu.utils.rss import apply_mem_cap
+
+        if apply_mem_cap(args.mem_cap_mb):
+            print(f"RLIMIT_AS capped at {args.mem_cap_mb} MB", flush=True)
     serve(args.dbpath, args.port)
 
 

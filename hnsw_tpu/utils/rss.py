@@ -14,6 +14,26 @@ def current_rss_kb() -> int:
         return 0
 
 
+def apply_mem_cap(mem_cap_mb: int) -> bool:
+    """RLIMIT_AS self-cap — reference parity with hnsw_service/main.cpp:19-22
+    (the native frontends already do this, query_main.cpp:406-410): with a
+    hard address-space ceiling, the service's memory claims are falsifiable —
+    exceeding the cap kills the process instead of silently paging. Returns
+    True when the cap was applied; <= 0 disables (the default for the TPU
+    engine, whose runtime maps large device buffers into the address
+    space)."""
+    if mem_cap_mb <= 0:
+        return False
+    try:
+        import resource
+
+        cap = mem_cap_mb << 20
+        resource.setrlimit(resource.RLIMIT_AS, (cap, cap))
+        return True
+    except (ImportError, ValueError, OSError):
+        return False
+
+
 def release_host_memory() -> None:
     """gc + glibc malloc_trim: freed Python/NumPy buffers otherwise stay in
     the allocator's arena and keep RSS at its transient peak — which made

@@ -562,3 +562,33 @@ def test_engine_hbm_trim(tmp_path):
     )
     assert overlap >= 0.9, overlap
     assert (l_trim[:, 0] == np.arange(32)).mean() >= 0.95
+
+
+def test_mem_cap_rlimit(tmp_path):
+    """--mem_cap_mb RLIMIT_AS self-cap (reference hnsw_service/main.cpp:19-22
+    parity, already present in the native frontend query_main.cpp:406-410):
+    the cap is really installed and an allocation past it fails instead of
+    silently paging — run in a subprocess because RLIMIT_AS cannot be raised
+    back afterwards."""
+    import subprocess
+    import sys
+
+    code = (
+        "from hnsw_tpu.utils.rss import apply_mem_cap\n"
+        "import resource\n"
+        "assert apply_mem_cap(0) is False\n"
+        "assert apply_mem_cap(512) is True\n"
+        "soft, hard = resource.getrlimit(resource.RLIMIT_AS)\n"
+        "assert soft == 512 << 20, soft\n"
+        "try:\n"
+        "    blob = bytearray(1 << 30)\n"
+        "    print('ALLOC_OK')\n"
+        "except MemoryError:\n"
+        "    print('CAPPED')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "CAPPED" in r.stdout, r.stdout
