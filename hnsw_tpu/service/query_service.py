@@ -139,9 +139,11 @@ class _Engine:
         # must never be returned; HNSWIndex.search does this via an eligible
         # mask and the service must match.
         self.eligible = None
+        self._elig_host = None  # host copy, base for per-request filters
         if deleted is not None and np.any(deleted):
             elig = np.ones(n_pad, dtype=bool)
             elig[: len(deleted)] = ~np.asarray(deleted, dtype=bool)
+            self._elig_host = elig
             self.eligible = jnp.asarray(elig)
         self.interpret = jax.default_backend() != "tpu"
         # landmark-seeded entry (SearchParams.entry_seeds analog): one MXU
@@ -245,13 +247,40 @@ class _Engine:
         return {"seed_ids": jnp.take(li, si, axis=0), "seed_dists": sd}
 
     def search(self, queries: np.ndarray, k: int, ef: int, entry_ids=None,
-               mode: str | None = None):
+               mode: str | None = None, filters=None):
         return self.search_resolve(
-            self.search_launch(queries, k, ef, entry_ids, mode)
+            self.search_launch(queries, k, ef, entry_ids, mode, filters)
         )
 
+    def _eligible_for(self, filters, b0, b_pad):
+        """Eligibility arrays for a batch: the shared deleted-mark mask when
+        no request carries a filter, or a per-query [b_pad, n_pad] mask
+        (per-request label allowlists — the per-query BaseFilterFunctor
+        path, ops/traversal.py _mask_lookup) when any does. Requests with
+        and without filters coexist in one micro-batch."""
+        if filters is None or not any(f is not None for f in filters):
+            return self.eligible
+        import jax.numpy as jnp
+
+        n_pad = int(self.dg.level0.shape[0])
+        if self._elig_host is None:
+            base = np.ones(n_pad, dtype=bool)
+        else:
+            base = self._elig_host
+        mask = np.zeros((b_pad, n_pad), dtype=bool)
+        mask[:b0] = base[None, :]
+        for i, allow in enumerate(filters):
+            if allow is None:
+                continue
+            row = np.isin(
+                self.labels_np, np.asarray(allow, dtype=np.int64)
+            )
+            mask[i] = row & base
+        return jnp.asarray(mask)
+
     def search_launch(self, queries: np.ndarray, k: int, ef: int,
-                      entry_ids=None, mode: str | None = None):
+                      entry_ids=None, mode: str | None = None,
+                      filters=None):
         """Dispatch the device search WITHOUT forcing the result (JAX async
         dispatch): returns an opaque handle for search_resolve. Splitting
         launch/resolve lets the micro-batcher overlap batch N's device
@@ -292,6 +321,7 @@ class _Engine:
             qd, k_search, max(ef, k_search),
             entry_seeds=cfg["entry_seeds"], seed_pool=cfg["seed_pool"],
         )
+        eligible = self._eligible_for(filters, b0, b_pad)
         res = search_batch(
             self.x,
             self.dg,
@@ -303,8 +333,8 @@ class _Engine:
             entry_ids=ent,
             **inline_search_kwargs(self.inline),
             expand=2,
-            eligible=self.eligible,
-            has_mask=self.eligible is not None,
+            eligible=eligible,
+            has_mask=eligible is not None,
             interpret=self.interpret,
             stop_frontier=cfg["stop_frontier"],
             stop_patience=cfg["stop_patience"],
@@ -345,11 +375,13 @@ class _MicroBatcher:
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
-    def submit(self, query, k, ef, entry_id, mode=None):
+    def submit(self, query, k, ef, entry_id, mode=None, filter_labels=None):
         ev = threading.Event()
         out = {}
         with self.lock:
-            self.pending.append((query, k, ef, entry_id, ev, out, mode))
+            self.pending.append(
+                (query, k, ef, entry_id, ev, out, mode, filter_labels)
+            )
             self.kick.notify()
         ev.wait()
         if "error" in out:
@@ -414,8 +446,13 @@ class _MicroBatcher:
                     # invalid-entry guard only when explicitly overridden;
                     # use graph entry for those rows
                     ent = np.where(ent < 0, int(self.engine.dg.entry_point), ent)
+                filts = [it[7] for it in items]
+                if not any(f is not None for f in filts):
+                    filts = None
                 try:
-                    h = self.engine.search_launch(q, k, ef, ent, mode=mode)
+                    h = self.engine.search_launch(
+                        q, k, ef, ent, mode=mode, filters=filts
+                    )
                 except Exception as exc:  # launch-time errors surface now
                     for it in items:
                         it[5]["error"] = str(exc)
@@ -591,7 +628,12 @@ class QueryHandler(BaseHTTPRequestHandler):
                         "modes": sorted(self.engine.modes),
                     })
                     return
-                d, l = self.batcher.submit(q, k, ef, entry, mode)
+                # per-request label allowlist (per-query BaseFilterFunctor):
+                # requests with different filters coalesce into one batch
+                filt = j.get("filter")
+                if filt is not None:
+                    filt = np.asarray(filt, dtype=np.int64)
+                d, l = self.batcher.submit(q, k, ef, entry, mode, filt)
                 results = [
                     {"id": int(l[i]), "distance": float(d[i])}
                     for i in range(len(l))
@@ -612,7 +654,13 @@ class QueryHandler(BaseHTTPRequestHandler):
                         "modes": sorted(self.engine.modes),
                     })
                     return
-                d, l = self.engine.search(q, k, ef, mode=mode)
+                filts = j.get("filters")
+                if filts is not None:
+                    filts = [
+                        None if f is None else np.asarray(f, dtype=np.int64)
+                        for f in filts
+                    ]
+                d, l = self.engine.search(q, k, ef, mode=mode, filters=filts)
                 self._json(
                     200,
                     {

@@ -1,5 +1,13 @@
 """Concurrent bulk insert (per-node striped link locks, reference semantics
-of concurrent addPoint: hnswalg.h:43,255,529-555)."""
+of concurrent addPoint: hnswalg.h:43,255,529-555).
+
+NOTE on what these tests can and cannot observe: this host has ONE CPU
+core, so n_threads=4 exercises the threaded code paths and their
+invariants (graph integrity, recall, determinism of the serial path) but
+cannot produce real lock contention or interleaving. Actual race coverage
+comes from the ThreadSanitizer stress harness (`bin/tsan_check.py`,
+`native/tsan_stress.cpp`) whose clean run is committed as
+res/tsan_builder.log — including the grow-lock reader-drain design."""
 
 import numpy as np
 

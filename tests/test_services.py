@@ -212,7 +212,7 @@ def test_microbatcher_pipelines_and_drains():
         class dg:
             entry_point = 0
 
-        def search_launch(self, q, k, ef, ent, mode=None):
+        def search_launch(self, q, k, ef, ent, mode=None, filters=None):
             events.append(("launch", len(q)))
             return (q, k)
 
@@ -592,3 +592,50 @@ def test_mem_cap_rlimit(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "CAPPED" in r.stdout, r.stdout
+
+
+def test_search_per_request_filter(stack):
+    """Per-request label allowlists (per-query BaseFilterFunctor): each
+    request's results obey its own filter, and filtered + unfiltered
+    requests coalesce in one micro-batch."""
+    x = stack["x"]
+    allow = list(range(100, 200))
+    j = _search(stack["normal"], x[7], k=5, ef=128, filter=allow)
+    got = [r["id"] for r in j["results"]]
+    assert got and all(100 <= g < 200 for g in got)
+    # unfiltered request still answers exactly
+    j2 = _search(stack["normal"], x[7], k=5, ef=128)
+    assert j2["results"][0]["id"] == 7
+
+    # concurrent mixed-filter requests: each row obeys its own mask
+    results = {}
+
+    def worker(i):
+        lo = 50 * (i % 4)
+        j = _search(stack["normal"], x[i], k=3, ef=128,
+                    filter=list(range(lo, lo + 50)))
+        results[i] = (lo, [r["id"] for r in j["results"]])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i, (lo, ids) in results.items():
+        assert ids and all(lo <= g < lo + 50 for g in ids), (i, lo, ids)
+
+
+def test_search_batch_per_row_filters(stack):
+    """/search_batch accepts per-row 'filters' (null = unfiltered row)."""
+    x = stack["x"]
+    body = {
+        "queries": [list(map(float, x[3])), list(map(float, x[4]))],
+        "k": 3, "ef": 128,
+        "filters": [list(range(0, 50)), None],
+    }
+    code, resp = _post(f"{stack['normal']}/search_batch",
+                       json.dumps(body).encode())
+    j = json.loads(resp)
+    row0 = [r["id"] for r in j["results"][0]]
+    assert row0 and all(0 <= g < 50 for g in row0)
+    assert j["results"][1][0]["id"] == 4  # unfiltered row exact
