@@ -93,41 +93,45 @@ def main():
 
     # --- real hnswlib, single core, cached via its own saveIndex --------
     bin_path = f"/tmp/xc1m_index_n{n}.bin"
-    q.tofile("/tmp/xc1m_q.f32")
+    build_s_path = f"/tmp/xc1m_build_s_n{n}.json"  # n-suffixed like the
+    # other caches: a smaller-N smoke run must not poison the 1M build time
+    q.tofile(f"/tmp/xc1m_q_n{n}.f32")
     build_s = None
-    if os.path.exists("/tmp/xc1m_build_s.json"):
+    if os.path.exists(build_s_path):
         # a prior (possibly loaded-host) run left the build time behind
-        with open("/tmp/xc1m_build_s.json") as f:
+        with open(build_s_path) as f:
             build_s = json.load(f)["build_s"]
     if not os.path.exists(bin_path):
-        x.tofile("/tmp/xc1m_data.f32")
+        x.tofile(f"/tmp/xc1m_data_n{n}.f32")
         print("real hnswlib build (single-core, ~40 min at 1M)...",
               flush=True)
         r = subprocess.run(
-            [eng, "build_search", "/tmp/xc1m_data.f32", str(n), str(DIM),
-             str(M), str(EF_C), "/tmp/xc1m_q.f32", str(NQ), str(K), "200",
-             "/tmp/xc1m_ids.i64", "", bin_path + ".tmp"],
+            [eng, "build_search", f"/tmp/xc1m_data_n{n}.f32", str(n),
+             str(DIM), str(M), str(EF_C), f"/tmp/xc1m_q_n{n}.f32", str(NQ),
+             str(K), "200", f"/tmp/xc1m_ids_n{n}.i64", "",
+             bin_path + ".tmp"],
             capture_output=True, text=True, timeout=4 * 3600,
         )
         assert r.returncode == 0, r.stderr[-2000:]
         stats = json.loads(r.stdout.strip().splitlines()[-1])
         build_s = stats["build_s"]
-        with open("/tmp/xc1m_build_s.json", "w") as f:
+        with open(build_s_path, "w") as f:
             json.dump({"build_s": build_s}, f)
         os.rename(bin_path + ".tmp", bin_path)
-        os.remove("/tmp/xc1m_data.f32")
+        os.remove(f"/tmp/xc1m_data_n{n}.f32")
         print(f"hnswlib build: {build_s:.0f}s", flush=True)
 
     ladder = []
     for ef in EF_LADDER:
         r = subprocess.run(
-            [eng, "load_search", bin_path, str(DIM), "/tmp/xc1m_q.f32",
-             str(NQ), str(K), str(ef), "/tmp/xc1m_ids.i64"],
+            [eng, "load_search", bin_path, str(DIM),
+             f"/tmp/xc1m_q_n{n}.f32", str(NQ), str(K), str(ef),
+             f"/tmp/xc1m_ids_n{n}.i64"],
             capture_output=True, text=True, timeout=3600,
         )
         assert r.returncode == 0, r.stderr[-2000:]
         stats = json.loads(r.stdout.strip().splitlines()[-1])
-        ids = np.fromfile("/tmp/xc1m_ids.i64", dtype=np.int64).reshape(
+        ids = np.fromfile(f"/tmp/xc1m_ids_n{n}.i64", dtype=np.int64).reshape(
             NQ, K
         )
         rec = recall(ids)
