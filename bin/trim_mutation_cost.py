@@ -67,6 +67,10 @@ def main():
     base_sync_s = time.time() - t0
     print(f"baseline table sync: {base_sync_s:.0f}s "
           f"({None if nbr_vec is None else nbr_vec[0]})", flush=True)
+    # drop our references: the re-sync after each mutation releases the
+    # old tables by refcount (models/hnsw.py _full_sync) — holding them
+    # here would force 2x HBM residency and OOM at the 4M edge
+    del dg, vectors, sq, nbr_vec
 
     def query_one(vec, idx_obj):
         """One seeded query for `vec` through the current tables; returns

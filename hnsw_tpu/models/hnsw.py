@@ -458,7 +458,21 @@ class HNSWIndex:
 
     def _full_sync(self):
         """Rebuild every device array from the host engine (initial upload,
-        growth past the padded capacity, or after an in-place update)."""
+        growth past the padded capacity, or after an in-place update).
+
+        The previous tables are released FIRST: a serve-trim tier at the
+        HBM edge (e.g. 4M int4, res/sweep_4m.json) cannot hold old+new
+        tables at once — the re-sync after a mutation would OOM at 2x
+        residency. Release is by refcount, so a caller that still holds
+        the returned arrays (sweep drivers measuring against them) keeps
+        them alive — and pays the 2x peak — by choice. A failed rebuild
+        therefore leaves no stale-but-servable tables; callers retry the
+        sync (utils/retry.py) rather than serve a pre-mutation view."""
+        self._device = None
+        # the landmark cache keys on the old tuple's identity — after a
+        # rebuild it can only miss, and keeping it would pin the old
+        # tables (it holds the tuple) right through the new allocation
+        self._landmark_cache = None
         g = self._builder.export_graph()
         n = g.num_nodes
         headroom = int(n * self.growth_headroom)
@@ -671,7 +685,8 @@ class HNSWIndex:
             )(x, dg.upper, dg.upper_slot)
             nbr_vec = (kind, nbr_vec[1], upper_tabs) + tuple(nbr_vec[3:])
         self._device = (dg, x, sq, deleted, labels_np, nbr_vec)
-        self._synced_n = n
+        self._landmark_cache = None  # identity-keyed: stale, and it pins
+        self._synced_n = n           # pre-delta array versions
         return True
 
     def rebuild_device_tables(self, unified_max_bytes: int | None = None):
@@ -686,6 +701,7 @@ class HNSWIndex:
         if unified_max_bytes is not None:
             self.unified_max_bytes = unified_max_bytes
         self._device = None
+        self._landmark_cache = None  # pins the old tuple otherwise
         gc.collect()  # drop relay-side buffers before allocating the new table
         self._dirty = True
         return self._sync_device()

@@ -94,3 +94,33 @@ def test_serve_only_mutation_falls_back_to_full_resync(rng):
     assert idx._last_sync_mode == "full", idx._last_sync_mode
     d, l = idx.search(x[7:8] + 1.0, k=1, ef=50)
     assert l[0, 0] == 7
+
+
+def test_full_resync_releases_old_tables_first(rng, monkeypatch):
+    """The re-sync after a mutation must NOT hold old+new tables at once:
+    at the 4M serve-trim edge that 2x residency OOMs the chip (observed
+    live — bin/trim_mutation_cost.py). _full_sync drops self._device AND
+    the identity-keyed landmark cache (which holds the old tuple) before
+    allocating anything."""
+    import hnsw_tpu.models.hnsw as hnsw_mod
+
+    x = _clustered(rng)
+    idx = _serve_only_index(x)
+    # seeded search populates the landmark cache with the current tables
+    idx.search(x[:8], k=10, ef=50, entry_seeds=4)
+    assert getattr(idx, "_landmark_cache", None) is not None
+
+    seen = {}
+    real = hnsw_mod.graph_device_arrays
+
+    def spy(g, n_pad):
+        seen["device_at_alloc"] = idx._device
+        seen["lm_cache_at_alloc"] = getattr(idx, "_landmark_cache", None)
+        return real(g, n_pad)
+
+    monkeypatch.setattr(hnsw_mod, "graph_device_arrays", spy)
+    idx.add_items(x[7:8] + 1.0, labels=np.array([7]))  # forces full resync
+    idx._sync_device()
+    assert idx._last_sync_mode == "full"
+    assert seen["device_at_alloc"] is None
+    assert seen["lm_cache_at_alloc"] is None
