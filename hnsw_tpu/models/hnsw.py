@@ -257,9 +257,14 @@ class SearchParams:
     # descriptor-issue bound, so fewer expansions is the remaining qps lever.
     stop_patience: int = 0
     # >0: stop a query once its best unexpanded beam entry is farther than
-    # this multiple of its k-th best distance (the reference's
+    # this multiple of its frontier-reference distance (the reference's
     # lower_bound-vs-candidate cut, hnswalg.h:342-436, relaxed by a factor).
     stop_frontier: float = 0.0
+    # Beam rank the frontier compares against: 0 => k (the aggressive
+    # speed-mode cut), ef => hnswlib's own lower bound (the worst of the
+    # ef-sized result heap) — the cut then loosens as the beam widens,
+    # keeping ef a recall lever in the high-recall modes.
+    frontier_rank: int = 0
     # Exact re-rank of the top-`rescore` candidates against the full-precision
     # vectors after an int8-served search (buys back the ~0.5% int8 recall
     # loss at a few % qps). None = auto: 4*k on the unified8 tier, 0 off.
@@ -841,6 +846,7 @@ class HNSWIndex:
             interpret=jax.default_backend() != "tpu",
             stop_patience=params.stop_patience,
             stop_frontier=params.stop_frontier,
+            frontier_rank=params.frontier_rank,
             stop_fn=params.stop_fn,
             **seed_kwargs,
         )

@@ -253,6 +253,7 @@ class StopView(NamedTuple):
         "unified_int4",
         "stop_patience",
         "stop_frontier",
+        "frontier_rank",
         "stop_fn",
     ),
 )
@@ -292,9 +293,19 @@ def search_batch(
     stop_patience: int = 0,  # >0: stop a query after this many iterations
     #   without top-k improvement (adaptive-termination speed mode)
     stop_frontier: float = 0.0,  # >0: stop a query once its best UNexpanded
-    #   beam entry is farther than stop_frontier * its k-th best distance —
-    #   the reference's lower_bound-vs-candidate cut (hnswalg.h:342-436)
-    #   relaxed by a multiplier (1.0 = classic greedy cut; ~2-4 = mild)
+    #   beam entry is farther than stop_frontier * its frontier_rank-th best
+    #   distance — the reference's lower_bound-vs-candidate cut
+    #   (hnswalg.h:342-436) relaxed by a multiplier (1.0 = classic greedy
+    #   cut; ~2-4 = mild)
+    frontier_rank: int = 0,  # beam rank the frontier compares against.
+    #   0 => k (the aggressive speed-mode cut: the k-th best pins the
+    #   threshold no matter how wide the beam is, so widening ef past ~k
+    #   buys nothing — measured at 20k: ef 320->768 all saturate at 0.962
+    #   recall while the exhaustive ef512 beam reaches 0.983).
+    #   ef => hnswlib's own lower bound (the WORST of the ef-sized result
+    #   heap, hnswalg.h:342-436): the cut loosens as the beam widens, which
+    #   is what makes ef a recall lever again — the high-recall serving
+    #   modes use this with stop_frontier ~1.0-1.15.
     stop_fn=None,  # optional StopView -> [B] bool custom stop condition
     #   (BaseSearchStopCondition analog, hnswlib/hnswlib.h:134-150)
 ) -> SearchResults:
@@ -364,7 +375,7 @@ def search_batch(
             use_mask=use_mask, interpret=interpret, tb=tb, nbuf=nbuf,
             unified_int8=unified_int8, unified_int4=unified_int4,
             stop_patience=stop_patience, stop_frontier=stop_frontier,
-            stop_fn=stop_fn,
+            frontier_rank=frontier_rank, stop_fn=stop_fn,
         )
 
     ep = jnp.broadcast_to(graph.entry_point, (b,)).astype(jnp.int32)
@@ -439,7 +450,7 @@ def search_batch(
         use_mask=use_mask, interpret=interpret, tb=tb, nbuf=nbuf,
         unified_int8=unified_int8, unified_int4=unified_int4,
         stop_patience=stop_patience, stop_frontier=stop_frontier,
-        stop_fn=stop_fn,
+        frontier_rank=frontier_rank, stop_fn=stop_fn,
     )
 
 
@@ -448,6 +459,7 @@ def _beam_level0(
     nbr_vectors, level0_tiles, unified_table, *, k, ef, space, expand,
     max_iters, hist_len, collect_metrics, use_mask, interpret, tb, nbuf,
     unified_int8, unified_int4, stop_patience, stop_frontier, stop_fn,
+    frontier_rank=0,
 ) -> SearchResults:
     """The fixed-ef masked beam loop over level 0 (reference:
     searchBaseLayerST, hnswalg.h:311-440), starting from an initialized
@@ -584,8 +596,15 @@ def _beam_level0(
                 best_unexp = jnp.min(
                     jnp.where(unexp2, beam_d2, _INF), axis=-1
                 )
+                # Frontier threshold: k-th best (rank 0, the aggressive
+                # speed-mode cut) or the frontier_rank-th best — rank=ef is
+                # hnswlib's own lower bound (worst of the ef-sized result
+                # heap, hnswalg.h:342-436), which loosens as the beam widens
+                # and keeps ef a recall lever in the high-recall modes.
+                rank = min(frontier_rank, ef) if frontier_rank > 0 else k
+                fd = (res_d2 if use_mask else beam_d2)[:, rank - 1]
                 done = done | (
-                    (best_unexp > stop_frontier * kd) & (kd < _INF)
+                    (best_unexp > stop_frontier * fd) & (fd < _INF)
                 )
             if stop_fn is not None:
                 view = StopView(

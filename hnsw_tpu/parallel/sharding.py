@@ -477,7 +477,8 @@ def sharded_landmark_arrays(
     static_argnames=(
         "k", "ef", "space", "expand", "max_iters", "mesh", "dp_axis",
         "shard_axis", "has_mask", "has_entry", "stop_patience",
-        "stop_frontier", "entry_seeds", "exact_i8", "stop_fn",
+        "stop_frontier", "frontier_rank", "entry_seeds", "exact_i8",
+        "stop_fn",
     ),
 )
 def sharded_search(
@@ -501,6 +502,7 @@ def sharded_search(
     has_entry: bool = False,
     stop_patience: int = 0,
     stop_frontier: float = 0.0,
+    frontier_rank: int = 0,
     entry_seeds: int = 0,
     exact_i8: bool = False,
     stop_fn: object = None,
@@ -631,6 +633,7 @@ def sharded_search(
             interpret=interpret,
             stop_patience=stop_patience,
             stop_frontier=stop_frontier,
+            frontier_rank=frontier_rank,
             stop_fn=stop_fn,
         )
         if m_res:
@@ -1250,6 +1253,7 @@ class ShardedHNSWIndex:
         entry_labels: np.ndarray | None = None,
         stop_patience: int = 0,
         stop_frontier: float = 0.0,
+        frontier_rank: int = 0,
         max_iters: int = 0,
         entry_seeds: int = 0,
         seed_pool: int = 0,
@@ -1345,6 +1349,7 @@ class ShardedHNSWIndex:
             has_entry=has_entry,
             stop_patience=stop_patience,
             stop_frontier=stop_frontier,
+            frontier_rank=frontier_rank,
             max_iters=max_iters,
             entry_seeds=entry_seeds,
             exact_i8=self.space.exact_i8,

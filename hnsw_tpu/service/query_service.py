@@ -62,7 +62,7 @@ class _Engine:
     #: the headline speed mode narrows to ef=160 under seeded entry, and
     #: that is a property of the MODE, not of the client's request.
     MODE_KEYS = ("stop_frontier", "stop_patience", "rescore", "max_iters",
-                 "entry_seeds", "seed_pool", "ef")
+                 "entry_seeds", "seed_pool", "ef", "frontier_rank")
 
     def __init__(self, vectors_np, graph, space, default_ef, default_k, mode,
                  storage=None, deleted=None, stop_frontier=0.0,
@@ -337,6 +337,7 @@ class _Engine:
             has_mask=eligible is not None,
             interpret=self.interpret,
             stop_frontier=cfg["stop_frontier"],
+            frontier_rank=int(cfg.get("frontier_rank") or 0),
             stop_patience=cfg["stop_patience"],
             max_iters=cfg["max_iters"],
             **seed_kwargs,

@@ -170,3 +170,37 @@ def test_last_improve_metric_bounds_needed_iterations(rng):
     d1, l1 = idx.search(q, params=SearchParams(k=10, ef=200, max_iters=cap))
     assert np.array_equal(l0, l1)
     np.testing.assert_allclose(d0, d1, rtol=1e-6)
+
+
+def test_frontier_rank_ef_recovers_wide_beam_recall(rng):
+    """The k-th-pinned frontier caps recall no matter how wide the beam is;
+    frontier_rank=ef (hnswlib's own lower bound — the worst of the ef-sized
+    result heap, hnswalg.h:342-436) must recover the exhaustive wide beam's
+    recall while still terminating adaptively (measured on TPU at 20k:
+    k-pinned ef512 saturates at 0.962 vs 0.983 exhaustive; res/highrecall_1m
+    is the at-scale artifact)."""
+    idx, q, gt = _setup(rng)
+    ef = 400
+
+    d_x, l_x = idx.search(q, params=SearchParams(k=10, ef=ef))
+    r_exh = _recall(l_x, gt)
+
+    p_k = SearchParams(k=10, ef=ef, collect_metrics=True, stop_frontier=1.0)
+    _, l_k = idx.search(q, params=p_k)
+    hops_k = int(np.max(idx.last_metrics.hops))
+    r_k = _recall(l_k, gt)
+
+    p_ef = SearchParams(
+        k=10, ef=ef, collect_metrics=True, stop_frontier=1.0,
+        frontier_rank=ef,
+    )
+    _, l_ef = idx.search(q, params=p_ef)
+    hops_ef = int(np.max(idx.last_metrics.hops))
+    r_ef = _recall(l_ef, gt)
+
+    # the ef-referenced cut dominates the k-referenced one on recall and
+    # matches the exhaustive beam (it only stops once even the ef-th-best
+    # can't be displaced), while the k-pinned cut stops far earlier
+    assert r_ef >= r_k, (r_ef, r_k)
+    assert r_ef >= r_exh - 0.01, (r_ef, r_exh)
+    assert hops_k < hops_ef  # rank=k is the more aggressive cut
