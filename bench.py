@@ -29,10 +29,14 @@ BATCH = int(os.environ.get("BENCH_BATCH", 8192))
 N_QUERY_BATCHES = 8
 N_WINDOWS = 6
 CPU_BASELINE_QUERIES = 512
-# Operating-point expectations for the drift tripwire (res/ef_exp.json):
-# a silent recall regression to 0.951 would still pass the >=0.95 gate,
-# so the delta vs the measured operating point is recorded in detail.
-EXPECTED_RECALL = 0.9886
+# Operating-point expectations for the drift tripwire: a silent recall
+# regression to 0.951 would still pass the >=0.95 gate, so the delta vs
+# the measured operating point is recorded in detail. 0.9945 is the
+# recall against the EXACT oracle (precision="highest"); the 0.9886
+# recorded through round 5 was measured against bf16-matmul ground truth
+# that misranked ~1.2% of near-tie true neighbors on this clustered
+# dataset (the search was always better than the meter).
+EXPECTED_RECALL = 0.9945
 # Quiet-host reference points for the degradation flag: the native CPU
 # baseline runs ~4.1k qps on an unloaded host (res/hnswlib_parity.json);
 # driver rounds have measured 2.5k on the same code when the host/relay

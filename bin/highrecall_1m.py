@@ -168,6 +168,9 @@ def main():
         return rec
 
     measure("seeds4 ef200 exhaustive", 200)
+    # the documented 1M speed mode (res/sweep_stop_1m.json operating point)
+    measure("speed mode (seeds4 ef160 f1.15 b14)", 160,
+            stop_frontier=1.15, max_iters=14)
     # the ladder runs hnswlib's OWN lower-bound cut (frontier_rank=ef: stop
     # once the best unexpanded candidate is past the ef-th best — the
     # k-pinned speed-mode cut saturates at 0.962 regardless of ef)

@@ -33,13 +33,21 @@ Array = jax.Array
 # ---------------------------------------------------------------------------
 
 
-def pairwise_l2_sq(q: Array, x: Array, *, x_sq_norms: Array | None = None) -> Array:
+def pairwise_l2_sq(
+    q: Array, x: Array, *, x_sq_norms: Array | None = None, precision=None
+) -> Array:
     """Squared-L2 distance between every row of q [B, D] and x [N, D] → [B, N].
 
     Equivalent semantics to the reference's L2Sqr (hnswlib/space_l2.h:7-24)
     evaluated on all pairs at once, expressed as one MXU matmul.
     `x_sq_norms` ([N]) may be precomputed and passed in to amortize across
     calls (the index stores it alongside the vectors).
+
+    `precision`: forwarded to the matmul. The TPU MXU rounds f32 inputs to
+    bf16 by default — fine for approximate search, but on clustered data
+    with near-tie neighbor ranks it scrambles the top-k (measured: 1.25%
+    of true 10-NN misranked at 100k/244-per-cluster). EXACTNESS-CONTRACT
+    callers (the bruteforce recall oracle) must pass "highest".
     """
     q32 = q.astype(jnp.float32)
     qq = jnp.sum(q32 * q32, axis=-1, keepdims=True)  # [B, 1]
@@ -51,13 +59,14 @@ def pairwise_l2_sq(q: Array, x: Array, *, x_sq_norms: Array | None = None) -> Ar
         x,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )  # [B, N]
     d = qq + x_sq_norms[None, :] - 2.0 * qx
     # Guard tiny negative values from cancellation; distances are >= 0.
     return jnp.maximum(d, 0.0)
 
 
-def pairwise_ip_dist(q: Array, x: Array) -> Array:
+def pairwise_ip_dist(q: Array, x: Array, *, precision=None) -> Array:
     """Inner-product distance 1 - <q, x> for all pairs → [B, N].
 
     Same semantics as the reference's InnerProductDistance
@@ -68,15 +77,19 @@ def pairwise_ip_dist(q: Array, x: Array) -> Array:
         x,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     return 1.0 - qx
 
 
-def pairwise_dist(q: Array, x: Array, space: str, *, x_sq_norms: Array | None = None) -> Array:
+def pairwise_dist(
+    q: Array, x: Array, space: str, *, x_sq_norms: Array | None = None,
+    precision=None,
+) -> Array:
     if space == "l2":
-        return pairwise_l2_sq(q, x, x_sq_norms=x_sq_norms)
+        return pairwise_l2_sq(q, x, x_sq_norms=x_sq_norms, precision=precision)
     if space == "ip":
-        return pairwise_ip_dist(q, x)
+        return pairwise_ip_dist(q, x, precision=precision)
     raise ValueError(f"unknown space {space!r} (expected 'l2' or 'ip')")
 
 

@@ -37,7 +37,9 @@ def merge_sorted_topk(
     return dk, ik
 
 
-@functools.partial(jax.jit, static_argnames=("k", "space", "chunk_size"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "space", "chunk_size", "precision")
+)
 def bruteforce_topk(
     q: Array,
     x: Array,
@@ -46,6 +48,10 @@ def bruteforce_topk(
     *,
     chunk_size: int | None = None,
     x_sq_norms: Array | None = None,
+    precision: str | None = None,  # "highest" = exact f32 matmul (the MXU
+    #   rounds f32 inputs to bf16 by default, which misranks near-tie
+    #   neighbors on clustered data — the recall ORACLE must pass this;
+    #   the landmark-seeding hot path stays on the fast default)
 ) -> tuple[Array, Array]:
     """Exact k-nearest over x [N, D] for queries q [B, D] → (dists, ids).
 
@@ -65,7 +71,8 @@ def bruteforce_topk(
     chunk_size = min(chunk_size, n)
 
     if n <= chunk_size:
-        d = pairwise_dist(q, x, space, x_sq_norms=x_sq_norms)
+        d = pairwise_dist(q, x, space, x_sq_norms=x_sq_norms,
+                          precision=precision)
         return topk_smallest(d, min(k, n))
 
     num_chunks = -(-n // chunk_size)
@@ -91,7 +98,8 @@ def bruteforce_topk(
         else:
             xc, base = inp
             sqc = None
-        d = pairwise_dist(q, xc, space, x_sq_norms=sqc)  # [B, C]
+        d = pairwise_dist(q, xc, space, x_sq_norms=sqc,
+                          precision=precision)  # [B, C]
         # Mask out padding rows (beyond original n).
         col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + base
         d = jnp.where(col < n, d, jnp.inf)
