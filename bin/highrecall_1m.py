@@ -130,10 +130,10 @@ def main():
     sd, si = bruteforce_topk(qd, lv, seeds, "l2", x_sq_norms=lsq)
     seed_kwargs = {"seed_ids": jnp.take(li, si, axis=0), "seed_dists": sd}
 
-    def run(ef, stop_frontier=0.0, frontier_rank=0, max_iters=0,
-            collect_metrics=False):
+    def run(ef, k_search=K, stop_frontier=0.0, frontier_rank=0,
+            max_iters=0, collect_metrics=False):
         return search_batch(
-            vectors, dg, qd, k=K, ef=ef, space="l2", sq_norms=sq,
+            vectors, dg, qd, k=k_search, ef=ef, space="l2", sq_norms=sq,
             **inline_search_kwargs(nbr_vec), expand=2,
             stop_frontier=stop_frontier, frontier_rank=frontier_rank,
             max_iters=max_iters,
@@ -141,10 +141,26 @@ def main():
         )
 
     rows = []
+    from hnsw_tpu.models.hnsw import _rescore_topk
 
-    def measure(label, ef, **stop_kwargs):
+    def measure(label, ef, rescore=0, **stop_kwargs):
+        # rescore: exact f32 re-rank of the top `rescore` beam entries from
+        # the full-precision vector table (_rescore_topk, Pallas f32) — the
+        # hop kernel's bf16 unified rows misrank near-tie candidates inside
+        # the beam, which is what caps the bf16 tier's device recall.
+        def full(**kw):
+            # the search must RETURN the rescore window (k_search=m), or the
+            # re-rank only ever sees the top-K bf16-ordered ids
+            m = min(rescore, ef)
+            r = run(ef, k_search=max(K, m), **kw)
+            if rescore:
+                rd, ri = _rescore_topk(qd, vectors, r.ids, r.dists, k=K,
+                                       m=m, space="l2", interpret=False)
+                r = type(r)(rd, ri, r.hops, r.dist_comps, r.last_improve)
+            return r
+
         def warm():
-            r = run(ef, **stop_kwargs)
+            r = full(**stop_kwargs)
             r.dists.block_until_ready()
             return r
 
@@ -152,7 +168,7 @@ def main():
         t0 = time.time()
         iters = 4
         for _ in range(iters):
-            r = run(ef, **stop_kwargs)
+            r = full(**stop_kwargs)
         r.dists.block_until_ready()
         qps = NQ * QPS_TILE * iters / (time.time() - t0)
         ids = np.asarray(r.ids)[:NQ]
@@ -162,6 +178,7 @@ def main():
         print(f"{label:<36} recall@{K}={rec:.4f}  {qps:>8.0f} qps",
               flush=True)
         row = {"mode": label, "ef": ef, "entry_seeds": seeds,
+               "rescore": rescore,
                "recall_at_10": round(rec, 4), "qps": round(qps, 1),
                **stop_kwargs}  # stop_kwargs incl. frontier_rank when set
         rows.append(row)
@@ -171,6 +188,8 @@ def main():
     # the documented 1M speed mode (res/sweep_stop_1m.json operating point)
     measure("speed mode (seeds4 ef160 f1.15 b14)", 160,
             stop_frontier=1.15, max_iters=14)
+    measure("speed mode + rescore48", 160,
+            rescore=48, stop_frontier=1.15, max_iters=14)
     # the ladder runs hnswlib's OWN lower-bound cut (frontier_rank=ef: stop
     # once the best unexpanded candidate is past the ef-th best — the
     # k-pinned speed-mode cut saturates at 0.962 regardless of ef)
@@ -191,6 +210,13 @@ def main():
               flush=True)
         measure(f"seeds4 ef{ef} f1.0 rank=ef budget {cap}", ef,
                 stop_frontier=1.0, frontier_rank=ef, max_iters=cap)
+        # FULL-beam exact rescore: the bf16 hop rows scatter near-tie true
+        # neighbors deep into the beam order (top-64 rescore is flat; the
+        # true NNs ARE in the beam — presence 0.9998 at ef768), so the
+        # re-rank must cover the whole beam to recover them.
+        measure(f"seeds4 ef{ef} f1.0 rank=ef budget {cap} + rescore{ef}",
+                ef, rescore=ef, stop_frontier=1.0, frontier_rank=ef,
+                max_iters=cap)
         if rec >= 0.9995:  # matched hnswlib's ceiling — no wider beam needed
             break
 
